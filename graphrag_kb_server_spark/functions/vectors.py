@@ -1,0 +1,44 @@
+"""Vector math over ``ARRAY<FLOAT>`` embedding columns — pure Catalyst
+expressions (higher-order functions), no UDFs, so cosine top-k stays
+inside whole-stage codegen and scales linearly with executors.
+
+Reference analogues: cosine top-k over nano-vectordb matrices
+(/root/reference/graphrag_kb_server/service/similar_topics.py:94-167,
+lightrag_search.py:985-1034) and the embedding-cosine dedup
+(/root/reference/graphrag_kb_server/service/search/matching.py:100-128).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """Cast ARRAY<FLOAT> → ARRAY<DOUBLE> so accumulation happens in
+    float64 (bit-stable vs the DuckDB oracle which also sums doubles
+    left-to-right)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays; 0.0 for zero vectors."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def l2_normalize(a: Column) -> Column:
+    n = norm(a)
+    return F.when(n == 0.0, a).otherwise(F.transform(a, lambda x: x / n))

@@ -1,0 +1,115 @@
+"""T2 — token-window chunking.
+
+Reference semantics: tiktoken windows of ``max_token_size=1024`` stepping
+``1024-128`` (overlap 128), decode each window, record
+``(tokens, content, chunk_order_index, full_doc_id)`` — the
+``chunking_by_token_size`` wrapper at
+/root/reference/graphrag_kb_server/service/lightrag/lightrag_init.py:28-68
+(defaults at :33-34). Chunk ids are content hashes
+(``chunk-<md5(content)>``), as in the reference KV stores.
+
+Spark design: a ``mapInPandas`` one-to-many stage (Arrow-batched; the
+tokenizer is the only necessarily-Python step, same as tiktoken would
+be), followed by JVM-side ``md5`` for ids. The stage is narrow — no
+shuffle — so it scales embarrassingly with input partitions; at 100 TB
+the cost is one pass over the text bytes.
+
+Constraint (same as the reference's): ``overlap_token_size`` must exceed
+the longest sentence for the downstream per-chunk extractor to see every
+sentence intact in at least one chunk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tokenizer import decode, encode
+from ..functions.text import chunk_id as chunk_id_col
+
+DEFAULT_MAX_TOKENS = 1024
+DEFAULT_OVERLAP = 128
+
+CHUNKS_SCHEMA = (
+    "chunk_id string, doc_id string, chunk_ix int, n_tokens int, "
+    "content string, file_path string"
+)
+
+
+def chunk_text(
+    content: str,
+    max_token_size: int = DEFAULT_MAX_TOKENS,
+    overlap_token_size: int = DEFAULT_OVERLAP,
+) -> list[dict]:
+    """Pure-Python chunker shared by the engine and the golden fixtures.
+
+    Mirrors lightrag's ``chunking_by_token_size`` windowing: every start
+    in range(0, n_tokens, max-overlap) yields a window (trailing windows
+    are shorter), content is the decoded window stripped.
+    """
+    tokens = encode(content)
+    step = max_token_size - overlap_token_size
+    out: list[dict] = []
+    if not tokens:
+        return out
+    for ix, start in enumerate(range(0, len(tokens), step)):
+        window = tokens[start : start + max_token_size]
+        out.append(
+            {
+                "tokens": len(window),
+                "content": decode(window).strip(),
+                "chunk_ix": ix,
+            }
+        )
+        if start + max_token_size >= len(tokens):
+            break
+    return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "content",
+    doc_id_col: str = "doc_id",
+    file_path_col: str = "file_path",
+    max_token_size: int = DEFAULT_MAX_TOKENS,
+    overlap_token_size: int = DEFAULT_OVERLAP,
+) -> DataFrame:
+    """docs(doc_id, content, file_path) → chunks table (CHUNKS_SCHEMA)."""
+
+    def explode_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, content, fp in zip(
+                pdf[doc_id_col], pdf[text_col], pdf[file_path_col]
+            ):
+                for c in chunk_text(content, max_token_size, overlap_token_size):
+                    rows.append(
+                        {
+                            "chunk_id": "",  # filled JVM-side below
+                            "doc_id": did,
+                            "chunk_ix": c["chunk_ix"],
+                            "n_tokens": c["tokens"],
+                            "content": c["content"],
+                            "file_path": fp,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "chunk_id",
+                    "doc_id",
+                    "chunk_ix",
+                    "n_tokens",
+                    "content",
+                    "file_path",
+                ],
+            )
+
+    chunks = docs.select(doc_id_col, text_col, file_path_col).mapInPandas(
+        explode_chunks, schema=CHUNKS_SCHEMA
+    )
+    # content-hash id computed by the JVM md5 builtin (codegen), not Python
+    return chunks.withColumn("chunk_id", chunk_id_col(F.col("content")))

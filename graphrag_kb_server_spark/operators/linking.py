@@ -1,0 +1,218 @@
+"""Entity linking + canonicalization (north rule; reference analogues:
+prompt-level canonicalization at
+/root/reference/graphrag_kb_server/service/lightrag/lightrag_index_support.py:12-24,
+embedding-cosine dedup at
+/root/reference/graphrag_kb_server/service/search/matching.py:100-128,
+abbreviation removal at matching.py:38-59, components at
+lightrag_graph_support.py:151-164).
+
+Pipeline:
+1. candidate generation — MinHash-LSH blocking on character-3-gram
+   shingles of the lowercased name (functions/hashing.py). Pairs are
+   only formed WITHIN an LSH band bucket: a self-equi-join on band key,
+   which Catalyst executes as a shuffle hash join on the band key —
+   never the O(n^2) cross product the reference's dense similarity
+   matrix implies.
+2. scoring — cosine of the deterministic hash-embeddings of the names
+   (functions/embedding.py); keep pairs ≥ threshold. (matching.py:118
+   uses 0.51 on real embeddings; hash-embeddings are sharper, default
+   0.80.)
+3. abbreviation pairs — initials(b) == a (matching.py:38-59) are also
+   linked, as an additional candidate channel (exact equi-join on the
+   initials expression).
+4. canonicalization — union the pair channels into a similarity-edge
+   list, run connected components (G3), canonical name = min member;
+   rewrite nodes and edges onto canonical ids and re-merge.
+
+Skew note: bucket sizes are capped (``max_bucket``) — a degenerate
+band bucket (stopword-ish names) would otherwise create a quadratic
+pair explosion; capping is the standard LSH guardrail and is recorded
+in the metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import GRAPH_FIELD_SEP
+from ..functions import hashing as H
+from ..functions import text as TXT
+from ..functions import vectors as V
+from ..functions.embedding import embed_udf
+from .components import connected_components
+
+DEFAULT_THRESHOLD = 0.80
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4  # 4 bands × 2 rows
+
+
+def candidate_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """names → (name_a, name_b) candidate pairs, name_a < name_b."""
+    rows_per_band = num_hashes // bands
+    sig = names.select(
+        F.col(name_col).alias("name"),
+        H.lsh_bands(
+            H.minhash_signature(
+                H.char_shingles(F.lower(F.col(name_col))), num_hashes
+            ),
+            bands,
+            rows_per_band,
+        ).alias("bands"),
+    )
+    bucketed = sig.select("name", F.explode("bands").alias("band"))
+    # cap pathological buckets before the self-join (LSH guardrail)
+    counts = bucketed.groupBy("band").agg(F.count(F.lit(1)).alias("_n"))
+    bucketed = bucketed.join(
+        counts.where(F.col("_n") <= max_bucket).select("band"), "band"
+    )
+    a = bucketed.select(F.col("band"), F.col("name").alias("name_a"))
+    b = bucketed.select(F.col("band"), F.col("name").alias("name_b"))
+    return (
+        a.join(b, "band")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    names: DataFrame,
+    name_col: str = "name",
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Attach embedding-cosine scores; keep pairs ≥ threshold."""
+    emb = names.select(
+        F.col(name_col).alias("name"), V.to_double(embed_udf(F.col(name_col))).alias("vec")
+    )
+    scored = (
+        pairs.join(emb.withColumnRenamed("name", "name_a").withColumnRenamed("vec", "vec_a"), "name_a")
+        .join(emb.withColumnRenamed("name", "name_b").withColumnRenamed("vec", "vec_b"), "name_b")
+        .select(
+            "name_a",
+            "name_b",
+            V.cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
+        )
+    )
+    return scored.where(F.col("score") >= threshold)
+
+
+def abbreviation_pairs(names: DataFrame, name_col: str = "name") -> DataFrame:
+    """Link an entity to another whose uppercased form equals its word
+    initials (matching.py:38-59): ("AI", "Artificial Intelligence")."""
+    base = names.select(F.col(name_col).alias("name"))
+    abbrevs = base.select(F.col("name").alias("name_a"), F.upper("name").alias("_k")).where(
+        ~F.col("name").contains(" ")
+    )
+    expansions = base.select(
+        F.col("name").alias("name_b"), TXT.initials(F.col("name")).alias("_k")
+    ).where(F.col("name").contains(" "))
+    return (
+        abbrevs.join(expansions, "_k")
+        .where(F.col("name_a") != F.col("name_b"))
+        .select("name_a", "name_b")
+    )
+
+
+def canonical_map(
+    nodes: DataFrame,
+    name_col: str = "name",
+    threshold: float = DEFAULT_THRESHOLD,
+    include_abbreviations: bool = True,
+) -> DataFrame:
+    """nodes → (name, canonical_name) for EVERY input name (identity
+    rows included), via LSH → cosine → components."""
+    names = nodes.select(F.col(name_col).alias("name")).distinct()
+    pairs = score_pairs(candidate_pairs(names), names, threshold=threshold).select(
+        "name_a", "name_b"
+    )
+    if include_abbreviations:
+        pairs = pairs.unionByName(abbreviation_pairs(names)).distinct()
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    mapped = names.join(
+        comp.withColumnRenamed("node", "name"), "name", "left"
+    ).select(
+        "name", F.coalesce("component", F.col("name")).alias("canonical_name")
+    )
+    return mapped
+
+
+def canonicalize_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    mapping: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Rewrite nodes/edges onto canonical names and re-merge groups.
+
+    The re-merge reuses the same algebraic aggregates as graph_build
+    (unions of provenance, sum of weights) so the output shape is
+    unchanged. Undirected edge keys are re-sorted after rewrite; edges
+    that collapse into self-loops are dropped (reference graphs are
+    simple undirected graphs).
+    """
+    m = mapping
+    nodes_c = (
+        nodes.join(m, "name")
+        .groupBy(F.col("canonical_name").alias("name"))
+        .agg(
+            F.array_min(F.collect_set("type")).alias("type"),
+            F.concat_ws(
+                GRAPH_FIELD_SEP,
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(F.collect_list(F.split("description", GRAPH_FIELD_SEP)))
+                    )
+                ),
+            ).alias("description"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("source_chunk_ids")))
+            ).alias("source_chunk_ids"),
+            F.sum("mention_count").alias("mention_count"),
+        )
+    )
+    src_map = m.select(F.col("name").alias("src"), F.col("canonical_name").alias("_csrc"))
+    tgt_map = m.select(F.col("name").alias("tgt"), F.col("canonical_name").alias("_ctgt"))
+    edges_c = (
+        edges.join(src_map, "src")
+        .join(tgt_map, "tgt")
+        .where(F.col("_csrc") != F.col("_ctgt"))
+        .select(
+            F.least("_csrc", "_ctgt").alias("src"),
+            F.greatest("_csrc", "_ctgt").alias("tgt"),
+            "weight",
+            "keywords",
+            "description",
+            "source_chunk_ids",
+        )
+        .groupBy("src", "tgt")
+        .agg(
+            F.sum("weight").alias("weight"),
+            F.concat_ws(
+                GRAPH_FIELD_SEP,
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(F.collect_list(F.split("keywords", GRAPH_FIELD_SEP)))
+                    )
+                ),
+            ).alias("keywords"),
+            F.concat_ws(
+                GRAPH_FIELD_SEP,
+                F.array_sort(
+                    F.array_distinct(
+                        F.flatten(F.collect_list(F.split("description", GRAPH_FIELD_SEP)))
+                    )
+                ),
+            ).alias("description"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("source_chunk_ids")))
+            ).alias("source_chunk_ids"),
+        )
+    )
+    return nodes_c, edges_c

@@ -1,0 +1,224 @@
+"""The indexing pipeline: web_pages → chunks/mentions/nodes/edges/embeddings.
+
+Reference lifecycle (SURVEY.md §3.2): unzip/crawl → per-file sanitize →
+``rag.ainsert`` (chunk → LLM extract → merge → embed → persist), with
+per-doc status tracking for resume
+(/root/reference/graphrag_kb_server/service/lightrag/lightrag_index_support.py:74-94,
+kv_store_doc_status.json artifact).
+
+Spark design: each stage materializes a parquet table (the Iceberg-shaped
+catalog of §1; plain parquet dirs here since the Iceberg jars aren't in
+the sandbox image — the writer is isolated in ``_write`` so swapping in
+``writeTo(...).using("iceberg")`` is one line). Stage boundaries are the
+two salted groupBys and the writes; every stage is idempotently
+resumable: reruns skip stages whose output already exists (doc-level
+incremental indexing is an anti-join against ``doc_status``, T9).
+
+Per-partition lineage + metrics: every write is accompanied by a
+``_metrics`` row set (stage, rows, partitions, wall seconds) appended to
+``metrics`` — the reference's TB_* telemetry sidecar analogue.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from ..functions.embedding import embed_udf
+from ..operators.chunking import chunk_documents
+from ..operators.extraction import extract_mentions
+from ..operators.graph_build import build_edges, build_nodes, finalize_graph
+from ..operators.linking import canonical_map, canonicalize_graph
+
+STAGES = [
+    "documents",
+    "chunks",
+    "mentions",
+    "nodes_raw",
+    "edges_raw",
+    "canonical_map",
+    "nodes_pre",
+    "edges_pre",
+    "nodes",
+    "edges",
+    "chunk_embeddings",
+    "entity_embeddings",
+    "relation_embeddings",
+    "doc_status",
+]
+
+
+@dataclass
+class IndexResult:
+    out_dir: str
+    metrics: list[dict] = field(default_factory=list)
+
+    def table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(f"{self.out_dir}/{name}")
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(f"{path}/_SUCCESS")
+
+
+def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def run_index(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    out_dir: str,
+    resume: bool = True,
+    link_entities: bool = True,
+    lang_filter: str | None = None,
+) -> IndexResult:
+    """Run (or resume) the full indexing pipeline.
+
+    ``resume=True`` skips any stage whose parquet output already exists
+    (kill-and-rerun produces identical outputs: every stage is a pure
+    function of its input tables — content-hash ids, sorted arrays,
+    explicit tie-breaks).
+    """
+    res = IndexResult(out_dir=out_dir)
+
+    def stage(name: str, build, partition_by: list[str] | None = None) -> DataFrame:
+        path = f"{out_dir}/{name}"
+        if resume and _exists(path):
+            res.metrics.append({"stage": name, "skipped": True})
+            return spark.read.parquet(path)
+        t0 = time.time()
+        df = build()
+        _write(df, path, partition_by)
+        out = spark.read.parquet(path)
+        n = out.count()
+        res.metrics.append(
+            {
+                "stage": name,
+                "skipped": False,
+                "rows": n,
+                "partitions": out.rdd.getNumPartitions(),
+                "seconds": round(time.time() - t0, 3),
+            }
+        )
+        return out
+
+    # ── extract text (S2/T1): the byte-identical invariant ──────────
+    def build_documents() -> DataFrame:
+        src = web_pages
+        if lang_filter:
+            src = src.where(F.col("lang") == lang_filter)
+        return src.select(
+            F.col("url"),
+            F.col("warc_ts"),
+            TXT.extract_text(F.col("text"), F.col("url")).alias("content"),
+        ).withColumn("doc_id", TXT.doc_id(F.col("content")))
+
+    documents = stage("documents", build_documents)
+
+    # ── T2 chunking (narrow mapInPandas) ─────────────────────────────
+    chunks = stage(
+        "chunks",
+        lambda: chunk_documents(
+            documents.select("doc_id", "content", F.col("url").alias("file_path"))
+        ),
+    )
+
+    # ── T3 extraction (LLM slot, mapInPandas) ────────────────────────
+    mentions = stage("mentions", lambda: extract_mentions(chunks))
+
+    # ── T4/T5 salted two-phase merges ────────────────────────────────
+    nodes_raw = stage("nodes_raw", lambda: build_nodes(mentions))
+    edges_raw = stage("edges_raw", lambda: build_edges(mentions))
+
+    # ── entity linking + canonicalization (LSH → cosine → components) ─
+    if link_entities:
+        mapping = stage("canonical_map", lambda: canonical_map(nodes_raw))
+
+        def build_canonical() -> tuple[DataFrame, DataFrame]:
+            return canonicalize_graph(nodes_raw, edges_raw, mapping)
+
+        # nodes/edges share one canonicalization; build lazily per stage
+        nodes_c = stage("nodes_pre", lambda: build_canonical()[0])
+        edges_c = stage("edges_pre", lambda: build_canonical()[1])
+    else:
+        nodes_c, edges_c = nodes_raw, edges_raw
+
+    # ── T7 degrees ───────────────────────────────────────────────────
+    def build_final():
+        return finalize_graph(nodes_c, edges_c)
+
+    nodes = stage("nodes", lambda: build_final()[0])
+    edges = stage("edges", lambda: build_final()[1])
+
+    # ── T6 embeddings (LLM slot, pandas UDF; content formats mirror
+    #     vdb_* observed shapes: entity = name\ndescription) ──────────
+    chunk_embeddings = stage(
+        "chunk_embeddings",
+        lambda: chunks.select(
+            "chunk_id", embed_udf(F.col("content")).alias("embedding")
+        ).dropDuplicates(["chunk_id"]),
+    )
+    entity_embeddings = stage(
+        "entity_embeddings",
+        lambda: nodes.select(
+            "name",
+            embed_udf(
+                F.concat_ws("\n", F.col("name"), F.col("description"))
+            ).alias("embedding"),
+        ),
+    )
+    relation_embeddings = stage(
+        "relation_embeddings",
+        lambda: edges.select(
+            "src",
+            "tgt",
+            embed_udf(
+                F.concat_ws(
+                    "\n",
+                    F.concat_ws("\t", F.col("src"), F.col("tgt")),
+                    F.col("keywords"),
+                    F.col("description"),
+                )
+            ).alias("embedding"),
+        ),
+    )
+
+    # ── T8 doc_status lineage ────────────────────────────────────────
+    def build_doc_status() -> DataFrame:
+        per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("chunks_count"))
+        return (
+            documents.join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("url").alias("file_path"),
+                F.coalesce("chunks_count", F.lit(0)).cast("int").alias("chunks_count"),
+                F.length("content").alias("content_length"),
+                F.substring("content", 1, 120).alias("content_summary"),
+                F.lit("processed").alias("status"),
+                F.current_timestamp().alias("updated_at"),
+            )
+        )
+
+    doc_status = stage("doc_status", build_doc_status)
+
+    with open(f"{out_dir}/metrics.json", "w") as f:
+        json.dump(res.metrics, f, indent=1)
+    _ = (nodes, edges, chunk_embeddings, entity_embeddings, relation_embeddings, doc_status)
+    return res
+
+
+def incremental_docs(web_pages_docs: DataFrame, doc_status: DataFrame) -> DataFrame:
+    """T9 — documents not yet processed: anti-join on doc_id (the
+    reference's filename-match incremental indexing, idempotent)."""
+    done = doc_status.where(F.col("status") == "processed").select("doc_id")
+    return web_pages_docs.join(done, "doc_id", "left_anti")

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Local-mode defaults mirror what we would submit on a real cluster via
+``spark-submit --py-files`` (AQE on, skew-join on, Arrow on, shuffle
+partitions sized to cores). On a 1000-executor cluster only
+``spark.sql.shuffle.partitions`` / memory sizing change; the plans are
+identical because everything below is declarative DataFrame/SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "graphrag_kb_server_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cpus: local parallelism (defaults to $SPARK_GRAFT_CPUS or '*').
+    shuffle_partitions: defaults to cpus (local rule-of-thumb: ~cores,
+    not the 200 default which over-parallelizes small local runs and
+    under-parallelizes cluster runs; on a real cluster this is set to
+    ~2-3x total executor cores and AQE coalesces from there).
+    """
+    if cpus is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "")
+        cpus = int(cpus_env) if cpus_env.isdigit() else 0
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    n_shuffle = shuffle_partitions or (cpus if cpus else 32)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.default.parallelism", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep Arrow batches big enough to amortize Python worker startup
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
