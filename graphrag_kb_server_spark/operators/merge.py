@@ -1,0 +1,59 @@
+"""Q6/Q7/Q13 — round-robin merge + first-occurrence dedup.
+
+Reference semantics: interleave N ranked branch lists position-wise;
+on duplicate keys the FIRST occurrence in interleave order wins
+(entities: /root/reference/graphrag_kb_server/service/lightrag/lightrag_search.py:1047-1066;
+relations with sorted-pair key :1068-1101; 3-way chunk merge :1287-1386).
+
+Spark design: the reference's "first wins while iterating" is an
+order-sensitive Python loop; distributed row order is nondeterministic,
+so we make the ordering EXPLICIT: each branch ranks its rows with
+``row_number`` over its own ordering, the interleave position is
+``pos * n_branches + branch``, and dedup is
+``row_number over (partition by key order by interleave_pos) = 1``.
+This reproduces the sequential semantics exactly, for any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_branch(df: DataFrame, order_cols: list, branch: int) -> DataFrame:
+    """Attach 0-based rank within a branch by an explicit ordering."""
+    w = Window.orderBy(*order_cols)
+    return df.withColumn("_pos", F.row_number().over(w) - 1).withColumn(
+        "_branch", F.lit(branch)
+    )
+
+
+def round_robin_merge(
+    branches: list[DataFrame],
+    key_cols: list[str],
+) -> DataFrame:
+    """Interleave pre-ranked branches (must carry _pos/_branch from
+    :func:`rank_branch`) and keep the first occurrence per key.
+
+    Output keeps all data columns plus ``merge_ix`` — the final
+    interleave position (dense, 0-based) after dedup, i.e. the order the
+    reference's merged Python list would have.
+    """
+    n = len(branches)
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    unioned = unioned.withColumn(
+        "_interleave", F.col("_pos") * n + F.col("_branch")
+    )
+    dedup_w = Window.partitionBy(*key_cols).orderBy("_interleave")
+    first = (
+        unioned.withColumn("_rk", F.row_number().over(dedup_w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    out_w = Window.orderBy("_interleave")
+    return (
+        first.withColumn("merge_ix", F.row_number().over(out_w) - 1)
+        .drop("_pos", "_branch", "_interleave")
+    )

@@ -1,0 +1,61 @@
+"""Q11 — linear-gradient weighted polling of chunks per entity.
+
+Reference semantics ("linear gradient weighted polling",
+``pick_by_weighted_polling`` used at
+/root/reference/graphrag_kb_server/service/lightrag/lightrag_search.py:1512-1521
+and :1715-1723): higher-ranked entities contribute more chunks; every
+entity contributes at least one; total budget = ``related_chunk_number``
+× number of entities, distributed as a decreasing arithmetic gradient.
+
+Spark design: quotas are computed in-DataFrame from the entity rank
+(no driver loop): for entity rank r of R entities with budget B,
+``quota(r) = max(1, round(B * (R - r) / (R * (R + 1) / 2)))`` — a linear
+gradient summing ≈ B. Selection = ``row_number`` per entity over the
+entity's own chunk ordering ≤ quota.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gradient_quotas(
+    entities_ranked: DataFrame,
+    rank_col: str,
+    total_budget_per_entity: int,
+) -> DataFrame:
+    """entities(rank) → + quota column (≥1, linear decreasing)."""
+    r_total = entities_ranked.count()
+    budget = total_budget_per_entity * r_total
+    tri = r_total * (r_total + 1) / 2.0
+    return entities_ranked.withColumn(
+        "quota",
+        F.greatest(
+            F.lit(1),
+            F.round(F.lit(budget) * (F.lit(r_total) - F.col(rank_col)) / F.lit(tri)).cast(
+                "int"
+            ),
+        ),
+    )
+
+
+def weighted_polling_pick(
+    chunks_per_entity: DataFrame,
+    entity_quotas: DataFrame,
+    entity_col: str = "name",
+    chunk_order_col: str = "occurrence",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep top-quota chunks per entity by the entity's chunk ordering
+    (occurrence desc in the reference, lightrag_search.py:1389-1464)."""
+    order = F.desc(chunk_order_col) if descending else F.asc(chunk_order_col)
+    w = Window.partitionBy(entity_col).orderBy(order, "chunk_id")
+    return (
+        chunks_per_entity.join(
+            F.broadcast(entity_quotas.select(entity_col, "quota")), entity_col
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("quota"))
+        .drop("_rn", "quota")
+    )

@@ -1,0 +1,283 @@
+"""The 4-stage kg_query pipeline as a parameterized DataFrame program.
+
+Reference entry point: ``kg_query``
+(/root/reference/graphrag_kb_server/service/lightrag/lightrag_search.py:330-597),
+stages labelled at :612-614 — 1. Search → 2. Truncate → 3. Merge chunks
+→ 4. Build LLM context.
+
+Spark lifecycle (SURVEY.md §3.1): the query embedding is computed once
+(reference :959-974) and broadcast by value; local/global branches are
+independent sub-plans Spark schedules in parallel; every order-sensitive
+reference loop (round-robin dedup, prefix truncation, weighted polling)
+is an explicit window over an explicit rank; the final context rows
+(≤ ~1k) are collected to the driver for assembly — the LLM boundary.
+
+Modes (reference :984-1034, normalization all→hybrid at
+model/rag_parameters.py:116): local = entity search; global = relation
+search; hybrid = both; mix = both + direct chunk vector search.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.embedding import embed_text
+from ..operators.merge import rank_branch, round_robin_merge
+from ..operators.polling import gradient_quotas, weighted_polling_pick
+from ..operators.truncation import truncate_by_token_budget
+from ..operators.vector_topk import cosine_topk
+
+_STOPWORDS = {
+    "the", "a", "an", "of", "in", "on", "to", "and", "or", "is", "are",
+    "what", "which", "who", "how", "does", "do", "with", "for", "about",
+    "tell", "me", "between", "relationship",
+}
+
+
+def extract_keywords(query: str, user_keywords: list[str] | None = None) -> list[str]:
+    """Q1 — the LLM keyword slot's deterministic stand-in: tf-ranked
+    non-stopword terms plus capitalized spans, unioned with user-supplied
+    keywords (set union, reference lightrag_search.py:83-84, :385-390)."""
+    spans = re.findall(r"(?:[A-Z][A-Za-z0-9'&-]*)(?:\s+[A-Z][A-Za-z0-9'&-]*)*", query)
+    words = [w for w in re.findall(r"[a-z]+", query.lower()) if w not in _STOPWORDS]
+    ranked = [w for w, _ in Counter(words).most_common(8)]
+    out: list[str] = []
+    for kw in spans + ranked + (user_keywords or []):
+        if kw and kw not in out:
+            out.append(kw)
+    return out
+
+
+@dataclass
+class QueryParams:
+    """Mirror of the reference QueryParameters defaults
+    (model/rag_parameters.py:27,121-122; top_k default 60 in LightRAG)."""
+    mode: str = "hybrid"  # local | global | hybrid | mix (all→hybrid)
+    top_k: int = 60
+    max_entity_tokens: int = 100
+    max_relation_tokens: int = 800
+    max_total_tokens: int = 5000
+    related_chunk_number: int = 5
+
+
+@dataclass
+class GraphTables:
+    nodes: DataFrame
+    edges: DataFrame
+    chunks: DataFrame
+    entity_embeddings: DataFrame
+    relation_embeddings: DataFrame
+    chunk_embeddings: DataFrame
+
+
+@dataclass
+class QueryContext:
+    entities: list[dict] = field(default_factory=list)
+    relations: list[dict] = field(default_factory=list)
+    chunks: list[dict] = field(default_factory=list)
+    keywords: list[str] = field(default_factory=list)
+    processing_info: dict = field(default_factory=dict)
+
+    def context_str(self) -> str:
+        """Q16 — JSON-lines context assembly (reference :728-924)."""
+        import json
+
+        parts = []
+        for title, rows in (
+            ("-----Entities-----", self.entities),
+            ("-----Relationships-----", self.relations),
+            ("-----Chunks-----", self.chunks),
+        ):
+            parts.append(title)
+            parts.extend(json.dumps(r, ensure_ascii=False, sort_keys=True) for r in rows)
+        return "\n".join(parts)
+
+
+def _entity_search(g: GraphTables, qvec, k: int) -> DataFrame:
+    """Q2 — entity vector top-k + node attrs + degree ("local")."""
+    top = cosine_topk(g.entity_embeddings, qvec, k, score_alias="vscore")
+    return top.join(g.nodes, "name").select(
+        "name", "type", "description", "degree", "source_chunk_ids", "vscore"
+    )
+
+
+def _relation_search(g: GraphTables, qvec, k: int) -> DataFrame:
+    """Q3 — relation vector top-k + edge attrs ("global")."""
+    top = cosine_topk(g.relation_embeddings, qvec, k, score_alias="vscore")
+    return top.join(g.edges, ["src", "tgt"]).select(
+        "src", "tgt", "keywords", "description", "weight", "combined_degree",
+        "source_chunk_ids", "vscore",
+    )
+
+
+def _chunk_search(g: GraphTables, qvec, k: int) -> DataFrame:
+    """Q4 — direct chunk vector top-k ("naive"/"mix" contribution)."""
+    top = cosine_topk(g.chunk_embeddings, qvec, k, score_alias="vscore")
+    return top.join(g.chunks.select("chunk_id", "content", "file_path"), "chunk_id")
+
+
+def gather_chunks_from_members(
+    selected: DataFrame, member_col: str, chunk_ids_col: str = "source_chunk_ids"
+) -> DataFrame:
+    """Q9/Q10 — explode member→chunk provenance; occurrence = how many
+    selected members reference the chunk; first-member-wins dedup; rank
+    chunks per member by occurrence desc (reference :1389-1464)."""
+    exploded = selected.select(
+        F.col(member_col).alias("member"),
+        F.col("merge_ix"),
+        F.explode(chunk_ids_col).alias("chunk_id"),
+    )
+    occ = Window.partitionBy("chunk_id")
+    first_w = Window.partitionBy("chunk_id").orderBy("merge_ix")
+    return (
+        exploded.withColumn("occurrence", F.count(F.lit(1)).over(occ))
+        .withColumn("_rk", F.row_number().over(first_w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def kg_query(
+    spark: SparkSession,
+    g: GraphTables,
+    query: str,
+    params: QueryParams | None = None,
+    user_keywords: list[str] | None = None,
+) -> QueryContext:
+    params = params or QueryParams()
+    mode = "hybrid" if params.mode == "all" else params.mode
+    keywords = extract_keywords(query, user_keywords)
+    # Q1: embed once, reuse across all vector ops (reference :959-974)
+    qvec = embed_text(query if not keywords else " ".join(keywords))
+
+    # ── Stage 1: search (independent branches; Spark runs them when
+    #    actions fire — the asyncio.gather analogue) ──────────────────
+    want_local = mode in ("local", "hybrid", "mix")
+    want_global = mode in ("global", "hybrid", "mix")
+    want_vector = mode == "mix"
+
+    ent_branches: list[DataFrame] = []
+    if want_local:
+        loc = _entity_search(g, qvec, params.top_k)
+        ent_branches.append(rank_branch(loc, [F.desc("vscore"), "name"], 0))
+    entities = (
+        round_robin_merge(ent_branches, ["name"]) if ent_branches else None
+    )
+
+    rel_branches: list[DataFrame] = []
+    if want_global:
+        glob = _relation_search(g, qvec, params.top_k)
+        rel_branches.append(rank_branch(glob, [F.desc("vscore"), "src", "tgt"], 0))
+    relations = (
+        round_robin_merge(rel_branches, ["src", "tgt"]) if rel_branches else None
+    )
+
+    # ── Stage 2: token truncation (Q8) ───────────────────────────────
+    if entities is not None:
+        entities = entities.withColumn(
+            "_ser",
+            F.to_json(F.struct("name", "type", "description", "degree")),
+        )
+        entities = truncate_by_token_budget(
+            entities, "_ser", "merge_ix", params.max_entity_tokens
+        ).drop("_ser")
+    if relations is not None:
+        relations = relations.withColumn(
+            "_ser",
+            F.to_json(F.struct("src", "tgt", "keywords", "description", "weight")),
+        )
+        relations = truncate_by_token_budget(
+            relations, "_ser", "merge_ix", params.max_relation_tokens
+        ).drop("_ser")
+
+    # ── Stage 3: chunk gathering + merge (Q9/Q10/Q11/Q13) ────────────
+    chunk_branches: list[DataFrame] = []
+    branch_ix = 0
+    if want_vector:
+        vec_chunks = _chunk_search(g, qvec, params.related_chunk_number * 2)
+        chunk_branches.append(
+            rank_branch(
+                vec_chunks.select("chunk_id", "vscore"),
+                [F.desc("vscore"), "chunk_id"],
+                branch_ix,
+            ).select("chunk_id", "_pos", "_branch")
+        )
+        branch_ix += 1
+    ent_chunk_ids = None
+    if entities is not None:
+        ent_chunks = gather_chunks_from_members(entities, "name")
+        quotas = gradient_quotas(
+            entities.select("name", "merge_ix").withColumnRenamed("merge_ix", "rank"),
+            "rank",
+            params.related_chunk_number,
+        )
+        picked = weighted_polling_pick(
+            ent_chunks.withColumnRenamed("member", "name"), quotas, "name"
+        )
+        ent_chunk_ids = picked.select("chunk_id")
+        chunk_branches.append(
+            rank_branch(
+                picked.select("chunk_id", "occurrence"),
+                [F.desc("occurrence"), "chunk_id"],
+                branch_ix,
+            ).select("chunk_id", "_pos", "_branch")
+        )
+        branch_ix += 1
+    if relations is not None:
+        rel_sel = relations.withColumn("name", F.concat_ws("|", "src", "tgt"))
+        rel_chunks = gather_chunks_from_members(rel_sel, "name")
+        if ent_chunk_ids is not None:  # Q10 anti-dedup vs entity chunks
+            rel_chunks = rel_chunks.join(ent_chunk_ids, "chunk_id", "left_anti")
+        chunk_branches.append(
+            rank_branch(
+                rel_chunks.select("chunk_id", "occurrence"),
+                [F.desc("occurrence"), "chunk_id"],
+                branch_ix,
+            ).select("chunk_id", "_pos", "_branch")
+        )
+        branch_ix += 1
+
+    merged_chunks = None
+    if chunk_branches:
+        merged_ids = round_robin_merge(chunk_branches, ["chunk_id"])
+        merged_chunks = merged_ids.join(
+            g.chunks.select("chunk_id", "content", "file_path"), "chunk_id"
+        )
+        # ── Q14: dynamic chunk token budget ──────────────────────────
+        overhead = len(extract_keywords(query)) + 200
+        budget = max(params.max_total_tokens - params.max_entity_tokens
+                     - params.max_relation_tokens - overhead, 100)
+        merged_chunks = truncate_by_token_budget(
+            merged_chunks, "content", "merge_ix", budget
+        )
+
+    # ── Stage 4: context assembly (collect the small result) ─────────
+    ctx = QueryContext(keywords=keywords)
+    if entities is not None:
+        ctx.entities = [
+            {k: r[k] for k in ("name", "type", "description", "degree")}
+            for r in entities.orderBy("merge_ix").collect()
+        ]
+    if relations is not None:
+        ctx.relations = [
+            {k: r[k] for k in ("src", "tgt", "keywords", "description", "weight")}
+            for r in relations.orderBy("merge_ix").collect()
+        ]
+    if merged_chunks is not None:
+        ctx.chunks = [
+            {"chunk_id": r["chunk_id"], "content": r["content"],
+             "file_path": r["file_path"], "ref_ix": i + 1}
+            for i, r in enumerate(merged_chunks.orderBy("merge_ix").collect())
+        ]
+    ctx.processing_info = {
+        "mode": mode,
+        "n_entities": len(ctx.entities),
+        "n_relations": len(ctx.relations),
+        "n_chunks": len(ctx.chunks),
+    }
+    return ctx

@@ -1,0 +1,105 @@
+"""End-to-end: index the tiny corpus, run kg_query in each mode, and
+verify resume semantics (T8/T9)."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_kb_server_spark.corpus import generate
+from graphrag_kb_server_spark.plans.index_pipeline import (
+    incremental_docs,
+    run_index,
+)
+from graphrag_kb_server_spark.plans.query_pipeline import (
+    GraphTables,
+    QueryParams,
+    kg_query,
+)
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_out):
+    out = f"{tmp_out}/index_e2e"
+    pages = generate(spark, 80)
+    res = run_index(spark, pages, out)
+    return out, res
+
+
+def _graph_tables(spark, out) -> GraphTables:
+    rd = lambda n: spark.read.parquet(f"{out}/{n}")
+    return GraphTables(
+        nodes=rd("nodes"),
+        edges=rd("edges"),
+        chunks=rd("chunks"),
+        entity_embeddings=rd("entity_embeddings"),
+        relation_embeddings=rd("relation_embeddings"),
+        chunk_embeddings=rd("chunk_embeddings"),
+    )
+
+
+def test_index_outputs(spark, indexed):
+    out, res = indexed
+    nodes = spark.read.parquet(f"{out}/nodes")
+    edges = spark.read.parquet(f"{out}/edges")
+    assert nodes.count() > 20
+    assert edges.count() > 20
+    # undirected key invariant
+    assert edges.where(F.col("src") >= F.col("tgt")).count() == 0
+    # every stage reported metrics
+    stages = {m["stage"] for m in res.metrics}
+    assert {"documents", "chunks", "mentions", "nodes", "edges"} <= stages
+
+
+def test_kg_query_modes(spark, indexed):
+    out, _ = indexed
+    g = _graph_tables(spark, out)
+    # pick a hub entity that certainly exists
+    hub = (
+        spark.read.parquet(f"{out}/nodes")
+        .orderBy(F.desc("mention_count"))
+        .first()["name"]
+    )
+    for mode in ["local", "global", "hybrid", "mix"]:
+        ctx = kg_query(
+            spark, g, f"What is the relationship between {hub} and others?",
+            QueryParams(mode=mode, top_k=10, max_total_tokens=3000),
+        )
+        if mode in ("local", "hybrid", "mix"):
+            assert ctx.entities, mode
+            assert hub in [e["name"] for e in ctx.entities], mode
+        if mode in ("global", "hybrid", "mix"):
+            assert ctx.relations, mode
+        assert ctx.chunks, mode
+        assert ctx.context_str().startswith("-----Entities-----")
+        # token budgets respected (serialized rows fit the running sum)
+        assert ctx.processing_info["n_entities"] <= 10
+
+
+def test_resume_skips_and_is_identical(spark, indexed, tmp_out):
+    out, _ = indexed
+    pages = generate(spark, 80)
+    nodes_before = spark.read.parquet(f"{out}/nodes").orderBy("name").toPandas()
+    res2 = run_index(spark, pages, out, resume=True)
+    assert all(m.get("skipped") for m in res2.metrics)
+    # kill-and-resume: delete downstream stages, rerun → identical output
+    for stg in ["nodes", "edges", "doc_status"]:
+        shutil.rmtree(f"{out}/{stg}")
+    res3 = run_index(spark, pages, out, resume=True)
+    redone = {m["stage"] for m in res3.metrics if not m.get("skipped")}
+    assert "nodes" in redone and "chunks" not in redone
+    nodes_after = spark.read.parquet(f"{out}/nodes").orderBy("name").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(nodes_before, nodes_after)
+
+
+def test_incremental_anti_join(spark, indexed):
+    out, _ = indexed
+    doc_status = spark.read.parquet(f"{out}/doc_status")
+    docs = spark.read.parquet(f"{out}/documents")
+    assert incremental_docs(docs, doc_status).count() == 0
+    # new docs show up
+    extra = docs.limit(5).withColumn("doc_id", F.concat(F.lit("new-"), "doc_id"))
+    assert incremental_docs(docs.unionByName(extra), doc_status).count() == 5
