@@ -45,17 +45,21 @@ def word_shingles(col: Column, k: int = 2) -> Column:
     )
 
 
+def _seeded_md5(prefix: str):
+    """Closure factory: a ONE-parameter lambda for F.transform.
+
+    (A two-parameter lambda — e.g. with a default arg — would be bound
+    by Spark as (element, index) and silently corrupt the seed.)
+    """
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
     """ARRAY<STRING> of length ``num_hashes``: per hash function h,
     min(md5(h || ':' || shingle)) over the shingle set."""
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, _h=h: F.md5(F.concat(F.lit(f"{_h}:"), s)),
-                )
-            )
+            F.array_min(F.transform(shingles, _seeded_md5(f"{h}:")))
             for h in range(num_hashes)
         ]
     )
@@ -90,22 +94,23 @@ def simhash64(tokens: Column) -> Column:
     Implementation detail: to stay in Catalyst we compute, for each of
     16 nibble positions, the 4 bit-majorities from the nibble value.
     """
+    def _nib_at(pos: int):
+        return lambda h: F.conv(F.substring(h, pos + 1, 1), 16, 10).cast("int")
+
+    def _vote(mask: int):
+        return lambda acc, v: acc + F.when(
+            v.bitwiseAND(F.lit(mask)) > 0, 1
+        ).otherwise(-1)
+
     # per-token 16-hex-char hash
     hashes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, 16))
     nibble_exprs = []
     for pos in range(16):  # nibble position in hex string
-        nib = F.transform(
-            hashes, lambda h, _p=pos: F.conv(F.substring(h, _p + 1, 1), 16, 10).cast("int")
-        )
+        nib = F.transform(hashes, _nib_at(pos))
         bits = []
         for bit in range(4):  # bit within nibble, MSB first
             mask = 1 << (3 - bit)
-            votes = F.aggregate(
-                nib,
-                F.lit(0),
-                lambda acc, v, _m=mask: acc
-                + F.when(v.bitwiseAND(F.lit(_m)) > 0, 1).otherwise(-1),
-            )
+            votes = F.aggregate(nib, F.lit(0), _vote(mask))
             bits.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)))
         nibble_val = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
         nibble_exprs.append(F.lower(F.conv(nibble_val.cast("string"), 10, 16)))

@@ -1,0 +1,150 @@
+"""G1 — centrality ranking.
+
+Reference semantics: exact betweenness centrality over the whole graph
+(rustworkx), sorted desc, persisted as TB_TOPICS_WITH_CENTRALITY
+(/root/reference/graphrag_kb_server/service/lightrag/lightrag_centrality.py:21-54,
+cache :72-85; consumed by candidate generation at
+service/search/matching.py:77-80 and topics at
+service/topic_generation.py:48-66).
+
+Scale deviation (documented, SURVEY.md §2.3): exact betweenness is
+O(V·E) and driver-bound — impossible at 10^12 docs. We provide:
+- ``degree_centrality`` — one aggregation, the scalable default ranking;
+- ``approx_betweenness`` — Brandes restricted to K sampled source nodes
+  (the standard unbiased estimator: betweenness ≈ scaled sum of pair
+  dependencies from sampled sources), run as K BFS waves expressed as
+  iterative hash joins. Exact on small graphs when sources = all nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_centrality(edges: DataFrame) -> DataFrame:
+    """(name, centrality) with centrality = degree / (n-1), ranked desc."""
+    deg = (
+        edges.select(F.explode(F.array("src", "tgt")).alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    n = deg.count()
+    denom = float(max(n - 1, 1))
+    return deg.select(
+        "name", (F.col("degree") / F.lit(denom)).alias("centrality")
+    ).orderBy(F.desc("centrality"), "name")
+
+
+def approx_betweenness(
+    edges: DataFrame,
+    num_sources: int | None = 16,
+    seed: int = 42,
+    max_depth: int = 12,
+) -> DataFrame:
+    """Sampled-source betweenness over the undirected graph.
+
+    Driver-side per-source accumulation is avoided: each wave is a
+    DataFrame of (source, node, dist, sigma) frontier rows for ALL
+    sampled sources simultaneously — one BFS whose key is
+    (source, node), i.e. K BFS runs batched into single joins.
+    The dependency back-propagation runs depth-many joins in reverse.
+    """
+    e = edges.select(F.col("src").alias("a"), F.col("tgt").alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("a").alias("name")).distinct()
+
+    if num_sources is None:
+        sources = nodes.select(F.col("name").alias("source"))
+    else:
+        # seeded deterministic sample: smallest K by md5(seed || name)
+        sources = (
+            nodes.withColumn("_h", F.md5(F.concat(F.lit(str(seed)), F.col("name"))))
+            .orderBy("_h")
+            .limit(num_sources)
+            .select(F.col("name").alias("source"))
+        )
+    sources = sources.localCheckpoint(eager=True)
+
+    # forward BFS: levels[d] = (source, node, sigma) at distance d
+    frontier = sources.select(
+        "source", F.col("source").alias("node"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    visited = frontier.select("source", "node", F.lit(0).alias("dist"), "sigma")
+    levels = [frontier.withColumn("dist", F.lit(0))]
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym.withColumnRenamed("a", "node"), "node")
+            .select("source", F.col("b").alias("node"), "sigma")
+            .join(
+                visited.select("source", "node").withColumn("_seen", F.lit(1)),
+                ["source", "node"],
+                "left",
+            )
+            .where(F.col("_seen").isNull())
+            .groupBy("source", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        levels.append(nxt.withColumn("dist", F.lit(d)))
+        visited = visited.unionByName(
+            nxt.select("source", "node", F.lit(d).alias("dist"), "sigma")
+        ).localCheckpoint(eager=True)
+        frontier = nxt.select("source", "node", "sigma")
+
+    # backward accumulation: delta(v) = sum over successors w of
+    # sigma(v)/sigma(w) * (1 + delta(w))
+    delta = levels[-1].select(
+        "source", "node", "sigma", F.lit(0.0).alias("delta")
+    )
+    acc = None
+    for d in range(len(levels) - 1, 0, -1):
+        preds = levels[d - 1].select(
+            "source", F.col("node").alias("pnode"), F.col("sigma").alias("psigma")
+        )
+        contrib = (
+            delta.join(sym.withColumnRenamed("a", "node"), "node")
+            .select("source", F.col("b").alias("pnode"), "node", "sigma", "delta")
+            .join(preds, ["source", "pnode"])
+            .groupBy("source", F.col("pnode").alias("node"))
+            .agg(
+                F.sum(
+                    F.col("psigma") / F.col("sigma") * (F.lit(1.0) + F.col("delta"))
+                ).alias("delta")
+            )
+        )
+        prev = levels[d - 1].select("source", "node", "sigma")
+        delta = (
+            prev.join(contrib, ["source", "node"], "left")
+            .select("source", "node", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+        ).localCheckpoint(eager=True)
+        part = delta.where(F.col("node") != F.col("source")).select("node", "delta")
+        acc = part if acc is None else acc.unionByName(part)
+
+    if acc is None:
+        return nodes.select(F.col("name"), F.lit(0.0).alias("centrality"))
+    scores = acc.groupBy(F.col("node").alias("name")).agg(
+        (F.sum("delta") / F.lit(2.0)).alias("centrality")  # undirected halving
+    )
+    return (
+        nodes.join(scores, "name", "left")
+        .select("name", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
+        .orderBy(F.desc("centrality"), "name")
+    )
+
+
+def centrality_table(nodes: DataFrame, centrality: DataFrame) -> DataFrame:
+    """The TB_TOPICS_WITH_CENTRALITY materialization shape
+    (db_persistence_topics_centrality.py:21-42): entity attrs + score."""
+    return (
+        nodes.join(centrality, "name")
+        .select(
+            F.col("name").alias("entity_id"),
+            F.col("type").alias("entity_type"),
+            "description",
+            F.col("centrality").cast("double"),
+        )
+        .orderBy(F.desc("centrality"), "entity_id")
+    )

@@ -1,0 +1,223 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Five dedup strategies over a documents table, each returning either a
+keep/drop assignment or duplicate-pair candidates. All are pure
+DataFrame programs; the only Python is the (optional) embedding UDF.
+
+- exact_dedup            — hash groupBy on content (or normalized content)
+- minhash_lsh_dedup      — shingle → minhash → band → bucket self-join
+- simhash_dedup          — 64-bit simhash prefix buckets + hamming check
+- ngram_jaccard_pairs    — token-shingle Jaccard via explode + join
+- embedding_near_dup     — cosine over hash-embeddings with LSH-style
+                           bucket blocking (the scale path for
+                           matching.py:100-128's dense similarity matrix)
+
+Keep-rule: the kept row per duplicate group is the explicit min of a
+deterministic ordering column — never implicit row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import vectors as V
+from ..functions.embedding import embed_udf
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, order_col: str, normalize: bool = False
+) -> DataFrame:
+    """Keep the min-``order_col`` row per identical content. Adds
+    ``dup_group_size``. Shuffle key = md5(content) (bounded-width key,
+    avoids shuffling full text for comparison)."""
+    key = F.lower(F.regexp_replace(F.col(content_col), r"\s+", " ")) if normalize else F.col(content_col)
+    keyed = df.withColumn("_k", F.md5(key))
+    w = Window.partitionBy("_k").orderBy(order_col)
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_group_size", F.count(F.lit(1)).over(Window.partitionBy("_k")))
+        .where(F.col("_rn") == 1)
+        .drop("_k", "_rn")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_words: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) via word-shingle
+    MinHash LSH. Pair formation is band-bucket-local (equi-join on the
+    band key), never all-pairs."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        H.lsh_bands(
+            H.minhash_signature(
+                H.word_shingles(F.lower(F.col(content_col)), shingle_words), num_hashes
+            ),
+            bands,
+            rows_per_band,
+        ).alias("bands"),
+    )
+    b = sig.select("id", F.explode("bands").alias("band"))
+    counts = b.groupBy("band").agg(F.count(F.lit(1)).alias("_n"))
+    b = b.join(counts.where(F.col("_n") <= max_bucket).select("band"), "band")
+    return (
+        b.alias("x")
+        .join(b.alias("y"), "band")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    order_col: str | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: LSH pairs → connected components over the
+    duplicate graph → keep min-id member per component."""
+    from .components import connected_components
+
+    order_col = order_col or id_col
+    pairs = minhash_lsh_pairs(df, content_col, id_col, **lsh_kwargs)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    keep = comp.groupBy("component").agg(F.min("node").alias("_keep"))
+    drop = (
+        comp.join(keep, "component")
+        .where(F.col("node") != F.col("_keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    prefix_nibbles: int = 4,
+    max_hamming_nibbles: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash over word tokens; block on
+    the hash prefix; verify by nibble-level hamming distance ≤ k.
+    (Prefix blocking is the single-table variant of the standard
+    multi-permutation simhash index.)"""
+    tokens = F.split(F.lower(F.trim(F.col(content_col))), r"\s+")
+    sh = df.select(F.col(id_col).alias("id"), H.simhash64(tokens).alias("sim"))
+    sh = sh.withColumn("block", F.substring("sim", 1, prefix_nibbles))
+    x, y = sh.alias("x"), sh.alias("y")
+    # hamming in nibble space via 16 positional comparisons (codegen'd)
+    diff = sum(
+        F.when(
+            F.substring(F.col("x.sim"), i + 1, 1) != F.substring(F.col("y.sim"), i + 1, 1),
+            1,
+        ).otherwise(0)
+        for i in range(16)
+    )
+    return (
+        x.join(y, F.col("x.block") == F.col("y.block"))
+        .where(F.col("x.id") < F.col("y.id"))
+        .withColumn("nibble_hamming", diff)
+        .where(F.col("nibble_hamming") <= max_hamming_nibbles)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "nibble_hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word-shingle sets, computed distributively:
+    explode shingles → self-join on shingle (inverted index) → count
+    intersections → |A∩B| / (|A|+|B|−|A∩B|). The shingle join IS the
+    blocking: pairs sharing no shingle never meet."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(H.word_shingles(F.lower(F.col(content_col)), shingle_words)).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "s")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    content_col: str | None = None,
+    vec_col: str | None = None,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup with random-hyperplane (SimHash-for-
+    vectors) bucket blocking: sign pattern of ``n_planes`` seeded
+    hyperplanes = bucket key; cosine verified within bucket only.
+
+    Matches the reference's greedy cosine-dedup semantics
+    (matching.py:100-128) with keep-earlier-wins applied by the caller.
+    """
+    import numpy as np
+
+    if vec_col is None:
+        df = df.withColumn("_vec", embed_udf(F.col(content_col)))
+        vec_col = "_vec"
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    vec_d = V.to_double(F.col(vec_col))
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec_d,
+                        F.array(*[F.lit(float(x)) for x in planes[p]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ],
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"), vec_d.alias("v"), bucket.alias("bucket")
+    )
+    x, y = keyed.alias("x"), keyed.alias("y")
+    return (
+        x.join(y, F.col("x.bucket") == F.col("y.bucket"))
+        .where(F.col("x.id") < F.col("y.id"))
+        .withColumn("cosine", V.cosine(F.col("x.v"), F.col("y.v")))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cosine")
+    )

