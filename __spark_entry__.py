@@ -1,38 +1,901 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship composite over /root/testdata/sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2);
+                  each calls the REAL engine operator from
+                  graphrag_kb_server_spark, adapted onto the driver's
+                  TPC-H-ish tables (or the deterministic synthetic
+                  corpus for UDF-bearing stages).
+``oracle_sql()``— DuckDB ANSI-SQL twins for every SQL-expressible entry
+                  (column names/types/rounding aligned for the driver's
+                  order-insensitive value-hash comparison).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from graphrag_kb_server_spark import corpus as corpus_mod
+from graphrag_kb_server_spark.functions import hashing as H
+from graphrag_kb_server_spark.functions import text as TXT
+from graphrag_kb_server_spark.functions import vectors as V
+from graphrag_kb_server_spark.operators import textstats as TS
+from graphrag_kb_server_spark.operators.centrality import degree_centrality
+from graphrag_kb_server_spark.operators.chunking import chunk_documents
+from graphrag_kb_server_spark.operators.communities import label_propagation
+from graphrag_kb_server_spark.operators.components import (
+    component_sizes,
+    connected_components,
+)
+from graphrag_kb_server_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup_pairs,
+)
+from graphrag_kb_server_spark.operators.extraction import extract_mentions
+from graphrag_kb_server_spark.operators.graph_build import (
+    build_edges,
+    build_nodes,
+    node_degrees,
+)
+from graphrag_kb_server_spark.operators.linking import canonical_map
+from graphrag_kb_server_spark.operators.merge import rank_branch, round_robin_merge
+from graphrag_kb_server_spark.operators.polling import (
+    gradient_quotas,
+    weighted_polling_pick,
+)
+from graphrag_kb_server_spark.operators.similarity import brute_force_topk_batch
+from graphrag_kb_server_spark.operators.truncation import cumulative_prefix_by_budget
+from graphrag_kb_server_spark.operators.vector_topk import cosine_topk
+from graphrag_kb_server_spark.operators.walks import random_walk_with_restart
+from graphrag_kb_server_spark.plans.query_pipeline import (
+    GraphTables,
+    QueryParams,
+    kg_query,
+)
+from graphrag_kb_server_spark.streaming.incremental import windowed_event_counts
+
+SEP = "<SEP>"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Shared adapters: drive the KG operators with driver-table inputs so
+# the DuckDB oracle can recompute them in pure SQL.
+# ──────────────────────────────────────────────────────────────────────
+
+def _mentions_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → the mentions shape (T3 output) with Zipf-ish key skew:
+    subj/obj = supplier/part keys, chunk = order, weight = quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("chunk_id"),
+        F.concat(F.lit("d"), F.col("l_orderkey").cast("string")).alias("doc_id"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("subj"),
+        F.lit("supplier").alias("subj_type"),
+        F.col("l_returnflag").alias("pred"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("obj"),
+        F.lit("part").alias("obj_type"),
+        F.col("l_linestatus").alias("description"),
+        F.col("l_quantity").cast("double").alias("weight"),
+    )
+
+
+_MENTIONS_SQL = f"""
+SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS chunk_id,
+       'S' || CAST(l_suppkey AS VARCHAR) AS subj,
+       l_returnflag AS pred,
+       'P' || CAST(l_partkey AS VARCHAR) AS obj,
+       l_linestatus AS description,
+       CAST(l_quantity AS DOUBLE) AS weight
+FROM lineitem
+"""
+
+
+_TINY_CACHE: dict[tuple[int, int], GraphTables] = {}
+
+
+def _tiny_graph_tables(spark: SparkSession, n_docs: int = 120) -> GraphTables:
+    """Deterministic synthetic-corpus graph for the UDF-bearing entries
+    (rows-only checks): the full pipeline, in memory. Memoized +
+    checkpointed per session so repeated actions don't re-run the
+    corpus→extraction chain."""
+    key = (id(spark), n_docs)
+    if key in _TINY_CACHE:
+        return _TINY_CACHE[key]
+    from graphrag_kb_server_spark.functions.embedding import embed_udf
+    from graphrag_kb_server_spark.operators.graph_build import finalize_graph
+
+    pages = corpus_mod.generate(spark, n_docs)
+    docs = pages.select(
+        "url", TXT.extract_text(F.col("text"), F.col("url")).alias("content")
+    ).withColumn("doc_id", TXT.doc_id(F.col("content"))).withColumn(
+        "file_path", F.col("url")
+    )
+    chunks = chunk_documents(docs).localCheckpoint(eager=True)
+    mentions = extract_mentions(chunks)
+    nodes, edges = finalize_graph(build_nodes(mentions), build_edges(mentions))
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    g = GraphTables(
+        nodes=nodes,
+        edges=edges,
+        chunks=chunks,
+        entity_embeddings=nodes.select(
+            "name",
+            embed_udf(F.concat_ws("\n", "name", "description")).alias("embedding"),
+        ),
+        relation_embeddings=edges.select(
+            "src", "tgt", embed_udf(F.concat_ws("\t", "src", "tgt")).alias("embedding")
+        ),
+        chunk_embeddings=chunks.select(
+            "chunk_id", embed_udf(F.col("content")).alias("embedding")
+        ).dropDuplicates(["chunk_id"]).localCheckpoint(eager=True),
+    )
+    g.entity_embeddings = g.entity_embeddings.localCheckpoint(eager=True)
+    g.relation_embeddings = g.relation_embeddings.localCheckpoint(eager=True)
+    _TINY_CACHE[key] = g
+    return g
+
+
+_NEAR_DUP_PLANES = 4
+_NEAR_DUP_SEED = 42
+_EMB_DIM = 64
+
+
+def _near_dup_planes() -> np.ndarray:
+    return np.random.default_rng(_NEAR_DUP_SEED).standard_normal(
+        (_NEAR_DUP_PLANES, _EMB_DIM)
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────
+# entry
+# ──────────────────────────────────────────────────────────────────────
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: web-corpus preprocessing composite over sf0.001 —
+    quality scoring + language-ID + token counts + nearest-neighbor
+    similarity per document (embeddings table aligns 1:1 with docs)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    stats = TS.quality_features(docs, "text").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_words",
+        "quality_score",
+        TS.language_id(F.col("text")).alias("lang_pred"),
+        TS.bpe_ish_token_count(F.col("text")).alias("n_tokens"),
+    )
+    queries_df = emb.limit(20).select(F.col("vec_id").alias("qid"), "embedding")
+    nn = (
+        brute_force_topk_batch(emb, queries_df, 2, "vec_id", "qid")
+        .where(F.col("rank") == 2)  # rank 1 = self
+        .select(F.col("qid").alias("doc_id"), F.col("id").alias("nn_id"),
+                F.round("score", 4).alias("nn_score"))
+    )
+    return stats.join(nn, "doc_id", "left").orderBy("doc_id")
 
+
+# ──────────────────────────────────────────────────────────────────────
+# queries
+# ──────────────────────────────────────────────────────────────────────
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- T4/T5/T7: graph build (oracle-checked shape) ----
+    def t4_entity_merge(spark, sf):
+        m = _mentions_from_lineitem(spark, sf)
+        return build_nodes(m).select(
+            "name",
+            "type",
+            F.col("mention_count").cast("bigint").alias("mention_count"),
+            F.size("source_chunk_ids").alias("n_chunks"),
+            "description",
+        )
+    q["t4_entity_merge"] = t4_entity_merge
+
+    def t5_edge_merge(spark, sf):
+        m = _mentions_from_lineitem(spark, sf)
+        return build_edges(m).select(
+            "src", "tgt", F.round("weight", 4).alias("weight"), "keywords",
+            F.size("source_chunk_ids").alias("n_chunks"),
+        )
+    q["t5_edge_merge"] = t5_edge_merge
+
+    def t7_degrees(spark, sf):
+        m = _mentions_from_lineitem(spark, sf)
+        return node_degrees(build_edges(m)).select(
+            "name", F.col("degree").cast("bigint").alias("degree")
+        )
+    q["t7_degrees"] = t7_degrees
+
+    # ---- Q6: round-robin merge + dedup ----
+    def q6_round_robin(spark, sf):
+        cust = _t(spark, sf, "customer")
+        b0 = rank_branch(
+            cust.select("c_custkey", "c_acctbal"),
+            [F.desc("c_acctbal"), "c_custkey"], 0,
+        ).where(F.col("_pos") < 20).select("c_custkey", "_pos", "_branch")
+        b1 = rank_branch(
+            cust.select("c_custkey", F.col("c_name").alias("nm")),
+            ["nm", "c_custkey"], 1,
+        ).where(F.col("_pos") < 20).select("c_custkey", "_pos", "_branch")
+        return round_robin_merge([b0, b1], ["c_custkey"]).select(
+            "merge_ix", "c_custkey"
+        )
+    q["q6_round_robin"] = q6_round_robin
+
+    # ---- Q8/Q14: running-sum budget truncation ----
+    def q8_truncation(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return cumulative_prefix_by_budget(
+            docs.select("doc_id", F.col("n_chars").cast("double").alias("w")),
+            "w", "doc_id", 20000.0,
+        ).select("doc_id", F.col("w").cast("bigint").alias("n_chars"))
+    q["q8_truncation"] = q8_truncation
+
+    # ---- Q9: provenance gathering w/ occurrence + first-wins dedup ----
+    def q9_chunk_gather(spark, sf):
+        from graphrag_kb_server_spark.plans.query_pipeline import (
+            gather_chunks_from_members,
+        )
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        sel = (
+            orders.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(50)
+            .withColumn("merge_ix", F.row_number().over(
+                Window.orderBy(F.desc("o_totalprice"), "o_orderkey")) - 1)
+        )
+        prov = (
+            sel.join(li, sel.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "merge_ix")
+            .agg(F.array_sort(F.collect_set(
+                F.col("l_partkey").cast("string"))).alias("source_chunk_ids"))
+        )
+        out = gather_chunks_from_members(prov, "o_orderkey")
+        return out.select(
+            F.col("chunk_id").alias("partkey"),
+            F.col("occurrence").cast("bigint").alias("occurrence"),
+            F.col("member").cast("bigint").alias("orderkey"),
+        )
+    q["q9_chunk_gather"] = q9_chunk_gather
+
+    # ---- Q11: gradient weighted polling ----
+    def q11_weighted_polling(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        ent = (
+            cust.orderBy(F.desc("c_acctbal"), "c_custkey").limit(10)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("c_acctbal"), "c_custkey")) - 1)
+            .select(F.col("c_custkey").alias("name"), "rank")
+        )
+        quotas = gradient_quotas(ent, "rank", total_budget_per_entity=3)
+        chunks = orders.select(
+            F.col("o_custkey").alias("name"),
+            F.col("o_orderkey").alias("chunk_id"),
+            F.col("o_totalprice").alias("occurrence"),
+        ).join(ent.select("name"), "name")
+        picked = weighted_polling_pick(chunks, quotas, "name")
+        return picked.select(
+            F.col("name").cast("bigint").alias("custkey"),
+            F.col("chunk_id").cast("bigint").alias("orderkey"),
+        )
+    q["q11_weighted_polling"] = q11_weighted_polling
+
+    # ---- Q2/G6: cosine top-k ----
+    def q2_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+        return cosine_topk(emb, qvec, 20, score_alias="score").select(
+            "vec_id", F.round("score", 4).alias("score")
+        )
+    q["q2_cosine_topk"] = q2_cosine_topk
+
+    # ---- ANN batch ----
+    def ann_batch_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where("vec_id < 5").select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        return brute_force_topk_batch(emb, queries_df, 10, "vec_id", "qid").select(
+            "qid", "id", F.round("score", 4).alias("score"), "rank"
+        )
+    q["ann_batch_topk"] = ann_batch_topk
+
+    # ---- dedup family ----
+    def dedup_exact(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return exact_dedup(docs, "text", "doc_id").select(
+            "doc_id", F.col("dup_group_size").cast("bigint").alias("dup_group_size")
+        )
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash_signature(spark, sf):
+        docs = _t(spark, sf, "documents")
+        # materialize shingles once (projection boundary) so the 8 hash
+        # functions reuse one computed array instead of re-deriving it
+        sh = docs.select(
+            "doc_id", H.word_shingles(F.lower(F.col("text")), 3).alias("sh")
+        )
+        return sh.select(
+            "doc_id",
+            F.concat_ws("|", H.minhash_signature(F.col("sh"), 8)).alias("signature"),
+        )
+    q["dedup_minhash_signature"] = dedup_minhash_signature
+
+    def dedup_jaccard_pairs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_words=3, threshold=0.2
+        ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    q["dedup_jaccard_pairs"] = dedup_jaccard_pairs
+
+    def dedup_embedding_pairs(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return embedding_near_dup_pairs(
+            emb, "vec_id", vec_col="embedding", threshold=0.2,
+            n_planes=_NEAR_DUP_PLANES, seed=_NEAR_DUP_SEED,
+        ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    q["dedup_embedding_pairs"] = dedup_embedding_pairs
+
+    def dedup_simhash_pairs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return simhash_dedup_pairs(
+            docs, "text", "doc_id", prefix_nibbles=2, max_hamming_nibbles=6
+        ).select("id_a", "id_b", "nibble_hamming")
+    q["dedup_simhash_pairs"] = dedup_simhash_pairs
+
+    # ---- text stats ----
+    def text_quality(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return TS.quality_features(docs, "text").select(
+            "doc_id", F.col("n_chars").cast("bigint").alias("nchars"),
+            F.col("n_words").cast("bigint").alias("nwords"),
+            "alpha_ratio", "punct_ratio", "quality_score",
+        )
+    q["text_quality"] = text_quality
+
+    def text_lang_id(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", TS.language_id(F.col("text")).alias("lang_pred"))
+    q["text_lang_id"] = text_lang_id
+
+    def text_token_counts(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            TS.whitespace_token_count(F.col("text")).alias("n_ws"),
+            TS.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        )
+    q["text_token_counts"] = text_token_counts
+
+    def text_fingerprint(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            F.concat_ws("|", H.rolling_fingerprint(F.col("text"), 8, 4)).alias("fp"),
+        )
+    q["text_fingerprint"] = text_fingerprint
+
+    def text_links(spark, sf):
+        docs = _t(spark, sf, "documents")
+        synth = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("see https://site"), (F.col("doc_id") % 10).cast("string"),
+                F.lit(".example/p"), F.col("doc_id").cast("string"),
+                F.lit(". more at http://ref.example/x), done"),
+            ).alias("t"),
+        )
+        return synth.select(
+            "doc_id", F.explode(TS.extract_links(F.col("t"))).alias("url")
+        )
+    q["text_links"] = text_links
+
+    # ---- P3 initials ----
+    def p3_initials(spark, sf):
+        part = _t(spark, sf, "part")
+        return part.select("p_partkey", TXT.initials(F.col("p_name")).alias("initials"))
+    q["p3_initials"] = p3_initials
+
+    # ---- T9 incremental anti-join ----
+    def t9_incremental(spark, sf):
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        done = li.select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+        return orders.join(done, "o_orderkey", "left_anti").select("o_orderkey")
+    q["t9_incremental"] = t9_incremental
+
+    # ---- G1 degree centrality ----
+    def g1_degree_centrality(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        edges = li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("tgt"),
+        ).distinct()
+        return degree_centrality(edges).select(
+            "name", F.round("centrality", 6).alias("centrality")
+        )
+    q["g1_degree_centrality"] = g1_degree_centrality
+
+    # ---- G7 histogram ----
+    def g7_histogram(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    q["g7_histogram"] = g7_histogram
+
+    # ---- streaming-shaped windowed agg ----
+    def s_windowed_events(spark, sf):
+        ev = _t(spark, sf, "events")
+        out = windowed_event_counts(ev, window="5 minutes")
+        return out.select(
+            F.col("win.start").alias("win_start"), "event_type",
+            F.col("n").cast("bigint").alias("n"), F.round("v", 4).alias("v"),
+        )
+    q["s_windowed_events"] = s_windowed_events
+
+    # ---- sessionization (training-pipeline op) ----
+    def s_sessionize(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        )
+        sess = ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        return sess.groupBy("user_id").agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    q["s_sessionize"] = s_sessionize
+
+    # ---- rows-only entries (iterative / UDF-bearing; no SQL oracle) ----
+    def kg_chunks(spark, sf):
+        g = _tiny_graph_tables(spark)
+        return g.chunks.select("chunk_id", "doc_id", "chunk_ix", "n_tokens")
+    q["kg_chunks"] = kg_chunks
+
+    def kg_triples(spark, sf):
+        pages = corpus_mod.generate(spark, 120)
+        docs = pages.select(
+            "url", TXT.extract_text(F.col("text"), F.col("url")).alias("content")
+        ).withColumn("doc_id", TXT.doc_id(F.col("content"))).withColumn(
+            "file_path", F.col("url")
+        )
+        mentions = extract_mentions(chunk_documents(docs))
+        return mentions.select("subj", "pred", "obj").distinct()
+    q["kg_triples"] = kg_triples
+
+    def kg_nodes(spark, sf):
+        g = _tiny_graph_tables(spark)
+        return g.nodes.select("name", "type", "degree", "mention_count")
+    q["kg_nodes"] = kg_nodes
+
+    def kg_canonical_map(spark, sf):
+        g = _tiny_graph_tables(spark)
+        return canonical_map(g.nodes)
+    q["kg_canonical_map"] = kg_canonical_map
+
+    def kg_query_context(spark, sf):
+        g = _tiny_graph_tables(spark)
+        hub = g.nodes.orderBy(F.desc("mention_count"), "name").first()["name"]
+        ctx = kg_query(
+            spark, g, f"What is the relationship between {hub} and others?",
+            QueryParams(mode="hybrid", top_k=10),
+        )
+        return spark.createDataFrame(
+            [(e["name"], e["type"], e["degree"]) for e in ctx.entities],
+            "name string, type string, degree int",
+        )
+    q["kg_query_context"] = kg_query_context
+
+    def g3_components(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        edges = li.limit(2000).select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("tgt"),
+        ).distinct()
+        return component_sizes(connected_components(edges))
+    q["g3_components"] = g3_components
+
+    def g2_lpa_communities(spark, sf):
+        m = _mentions_from_lineitem(spark, sf)
+        edges = build_edges(m).limit(5000)
+        labels = label_propagation(edges)
+        return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    q["g2_lpa_communities"] = g2_lpa_communities
+
+    def g4_random_walk(spark, sf):
+        m = _mentions_from_lineitem(spark, sf)
+        edges = build_edges(m)
+        src = edges.orderBy(F.desc("weight"), "src").first()["src"]
+        return random_walk_with_restart(edges, src, samples=50, path_length=5, topk=10)
+    q["g4_random_walk"] = g4_random_walk
+
+    def dedup_minhash_drop(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return minhash_lsh_dedup(docs, "text", "doc_id").select("doc_id")
+    q["dedup_minhash_drop"] = dedup_minhash_drop
+
+    return q
+
+
+# ──────────────────────────────────────────────────────────────────────
+# oracle SQL (DuckDB dialect, over pre-registered views)
+# ──────────────────────────────────────────────────────────────────────
+
+def _planes_sql_literal() -> list[str]:
+    planes = _near_dup_planes()
+    return [
+        "[" + ",".join(f"{x!r}" for x in p) + "]::DOUBLE[]" for p in planes
+    ]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["t4_entity_merge"] = f"""
+WITH m AS ({_MENTIONS_SQL}),
+sides AS (
+  SELECT subj AS name, subj_type AS type, description, chunk_id FROM (
+    SELECT chunk_id, subj, 'supplier' AS subj_type, description FROM m) s
+  UNION ALL
+  SELECT obj AS name, 'part' AS type, description, chunk_id FROM m
+)
+SELECT name,
+       min(type) AS type,
+       count(*) AS mention_count,
+       CAST(count(DISTINCT chunk_id) AS INT) AS n_chunks,
+       string_agg(DISTINCT description, '{SEP}' ORDER BY description) AS description
+FROM sides GROUP BY name
+"""
+
+    o["t5_edge_merge"] = f"""
+WITH m AS ({_MENTIONS_SQL})
+SELECT least(subj, obj) AS src, greatest(subj, obj) AS tgt,
+       round(sum(weight), 4) AS weight,
+       string_agg(DISTINCT pred, '{SEP}' ORDER BY pred) AS keywords,
+       CAST(count(DISTINCT chunk_id) AS INT) AS n_chunks
+FROM m GROUP BY 1, 2
+"""
+
+    o["t7_degrees"] = f"""
+WITH m AS ({_MENTIONS_SQL}),
+e AS (SELECT DISTINCT least(subj,obj) AS src, greatest(subj,obj) AS tgt FROM m)
+SELECT name, count(*) AS degree FROM (
+  SELECT src AS name FROM e UNION ALL SELECT tgt FROM e
+) GROUP BY name
+"""
+
+    o["q6_round_robin"] = """
+WITH b0 AS (
+  SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) - 1 AS pos,
+         0 AS branch FROM customer QUALIFY pos < 20
+),
+b1 AS (
+  SELECT c_custkey, row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS pos,
+         1 AS branch FROM customer QUALIFY pos < 20
+),
+u AS (SELECT *, pos * 2 + branch AS interleave FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1)),
+d AS (
+  SELECT c_custkey, interleave,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY interleave) AS rk
+  FROM u QUALIFY rk = 1
+)
+SELECT CAST(row_number() OVER (ORDER BY interleave) - 1 AS INT) AS merge_ix, c_custkey
+FROM d
+"""
+
+    o["q8_truncation"] = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         sum(CAST(n_chars AS DOUBLE)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+) WHERE cum <= 20000
+"""
+
+    o["q9_chunk_gather"] = """
+WITH sel AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS merge_ix
+  FROM orders QUALIFY merge_ix < 50
+),
+prov AS (
+  SELECT DISTINCT sel.o_orderkey, sel.merge_ix,
+         CAST(l.l_partkey AS VARCHAR) AS partkey
+  FROM sel JOIN lineitem l ON sel.o_orderkey = l.l_orderkey
+),
+occ AS (
+  SELECT partkey, merge_ix, o_orderkey,
+         count(*) OVER (PARTITION BY partkey) AS occurrence,
+         row_number() OVER (PARTITION BY partkey ORDER BY merge_ix) AS rk
+  FROM prov
+)
+SELECT partkey, occurrence, CAST(o_orderkey AS BIGINT) AS orderkey
+FROM occ WHERE rk = 1
+"""
+
+    o["q11_weighted_polling"] = """
+WITH ent AS (
+  SELECT c_custkey AS name,
+         row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) - 1 AS rank
+  FROM customer QUALIFY rank < 10
+),
+quotas AS (
+  SELECT name, greatest(1, CAST(floor(30.0 * (10 - rank) / 55.0 + 0.5) AS INT)) AS quota
+  FROM ent
+),
+chunks AS (
+  SELECT o.o_custkey AS name, o.o_orderkey AS chunk_id, o.o_totalprice AS occurrence
+  FROM orders o JOIN ent ON o.o_custkey = ent.name
+),
+ranked AS (
+  SELECT c.name, c.chunk_id, q.quota,
+         row_number() OVER (
+           PARTITION BY c.name ORDER BY c.occurrence DESC, c.chunk_id
+         ) AS rn
+  FROM chunks c JOIN quotas q ON c.name = q.name
+)
+SELECT CAST(name AS BIGINT) AS custkey, CAST(chunk_id AS BIGINT) AS orderkey
+FROM ranked WHERE rn <= quota
+"""
+
+    o["q2_cosine_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS score
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
+LIMIT 20
+"""
+
+    o["ann_batch_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS s
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT qid, id, s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, id, round(s, 4) AS score, rank FROM ranked WHERE rank <= 10
+"""
+
+    o["dedup_exact"] = """
+SELECT doc_id, dup_group_size FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk,
+         count(*) OVER (PARTITION BY md5(text)) AS dup_group_size
+  FROM documents
+) WHERE rk = 1
+"""
+
+    # word-3-gram shingles, distinct; per hash h: min(md5('h:' || shingle))
+    shingle_sql = """
+list_distinct(list_transform(
+  range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+  i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')
+))
+"""
+    mins = ", ".join(
+        f"min(md5('{h}:' || s)) AS h{h}" for h in range(8)
+    )
+    concat_sig = " || '|' || ".join(f"h{h}" for h in range(8))
+    o["dedup_minhash_signature"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingle_sql}) AS s FROM documents
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+SELECT doc_id, {concat_sig} AS signature FROM sig
+"""
+
+    o["dedup_jaccard_pairs"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest({shingle_sql}) AS s FROM documents
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.s = y.s AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.id = id_a
+JOIN sizes nb ON nb.id = id_b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.2
+"""
+
+    planes = _planes_sql_literal()
+    bucket_expr = " || ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {p}) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    o["dedup_embedding_pairs"] = f"""
+WITH k AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v, {bucket_expr} AS bucket
+  FROM embeddings
+)
+SELECT x.id AS id_a, y.id AS id_b,
+       round(list_cosine_similarity(x.v, y.v), 4) AS cosine
+FROM k x JOIN k y ON x.bucket = y.bucket AND x.id < y.id
+WHERE list_cosine_similarity(x.v, y.v) >= 0.2
+"""
+
+    o["text_quality"] = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS nchars,
+         len(string_split_regex(trim(text), '\s+')) AS nwords,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct,
+         len(list_intersect(
+           list_distinct(string_split_regex(lower(text), '[^a-z]+')),
+           ['the','and','of','to','in','is','with','for']
+         )) / 8.0 AS stop
+  FROM documents
+)
+SELECT doc_id, nchars, nwords,
+       round(alpha, 6) AS alpha_ratio,
+       round(punct, 6) AS punct_ratio,
+       round(
+         0.35 * (CASE WHEN nwords < 5 THEN nwords / 5.0
+                      WHEN nwords > 5000 THEN 0.5 ELSE 1.0 END)
+         + 0.25 * least(alpha * 1.25, 1.0)
+         + 0.25 * least(stop, 1.0)
+         + 0.15 * (1.0 - least(punct * 5, 1.0)),
+       6) AS quality_score
+FROM f
+"""
+
+    lang_markers = {
+        "en": ["the", "and", "of", "to", "in", "is", "with", "for"],
+        "de": ["der", "die", "das", "und", "ist", "mit", "für", "nicht"],
+        "fr": ["le", "la", "les", "et", "est", "dans", "pour", "une"],
+        "es": ["el", "la", "los", "que", "es", "con", "para", "una"],
+    }
+    hit_exprs = {
+        lang: (
+            "len(list_intersect(list_distinct("
+            "string_split_regex(lower(text), '[^a-zà-ÿäöüß]+')), ["
+            + ",".join(f"'{m}'" for m in ms)
+            + "]))"
+        )
+        for lang, ms in sorted(lang_markers.items())
+    }
+    best = "greatest(" + ",".join(hit_exprs.values()) + ")"
+    case = "CASE "
+    for lang in sorted(lang_markers):  # earlier langs win ties
+        case += f"WHEN {hit_exprs[lang]} = {best} AND {best} > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    o["text_lang_id"] = f"SELECT doc_id, {case} AS lang_pred FROM documents"
+
+    o["text_token_counts"] = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws,
+       CAST(len(regexp_extract_all(
+         text, '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'
+       )) AS INT) AS n_bpe
+FROM documents
+"""
+
+    o["text_fingerprint"] = """
+WITH w AS (
+  SELECT doc_id, md5(substr(text, CAST(i AS INT), 8)) AS h
+  FROM documents,
+       unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS t(i)
+),
+s AS (SELECT DISTINCT doc_id, h FROM w),
+r AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+  FROM s
+)
+SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fp
+FROM r WHERE rk <= 4 GROUP BY doc_id
+"""
+
+    o["text_links"] = r"""
+WITH synth AS (
+  SELECT doc_id,
+         'see https://site' || CAST(doc_id % 10 AS VARCHAR) || '.example/p'
+         || CAST(doc_id AS VARCHAR) || '. more at http://ref.example/x), done' AS t
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t, 'https?://[^\s<>"{}|\\^`\[\]]+')) AS raw
+  FROM synth
+)
+SELECT DISTINCT doc_id, regexp_replace(raw, '[.;)\],]+$', '') AS url FROM u
+"""
+
+    o["p3_initials"] = """
+SELECT p_partkey,
+       upper(array_to_string(
+         list_transform(string_split_regex(p_name, '\\s+'), w -> w[1:1]), ''
+       )) AS initials
+FROM part
+"""
+
+    o["t9_incremental"] = """
+SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+    o["g1_degree_centrality"] = """
+WITH e AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         'p' || CAST(l_partkey AS VARCHAR) AS tgt
+  FROM lineitem
+),
+deg AS (
+  SELECT name, count(*) AS d FROM (
+    SELECT src AS name FROM e UNION ALL SELECT tgt FROM e
+  ) GROUP BY name
+)
+SELECT name,
+       round(CAST(d AS DOUBLE) / greatest((SELECT count(*) FROM deg) - 1, 1), 6)
+         AS centrality
+FROM deg
+"""
+
+    o["g7_histogram"] = "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
+
+    o["s_windowed_events"] = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS v
+FROM events GROUP BY 1, 2
+"""
+
+    o["s_sessionize"] = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+    return o
+
+
+if __name__ == "__main__":
+    from graphrag_kb_server_spark.session import get_spark
+
+    spark = get_spark("entry_smoke", cpus=4, shuffle_partitions=4)
+    df = entry(spark)
+    df.show(5)
+    print("entry rows:", df.count())

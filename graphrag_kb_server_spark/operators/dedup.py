@@ -56,15 +56,16 @@ def minhash_lsh_pairs(
     MinHash LSH. Pair formation is band-bucket-local (equi-join on the
     band key), never all-pairs."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # staged projections: shingles → signature → bands, so each level is
+    # computed once per row instead of re-derived inside every hash fn
+    sh = df.select(
         F.col(id_col).alias("id"),
-        H.lsh_bands(
-            H.minhash_signature(
-                H.word_shingles(F.lower(F.col(content_col)), shingle_words), num_hashes
-            ),
-            bands,
-            rows_per_band,
-        ).alias("bands"),
+        H.word_shingles(F.lower(F.col(content_col)), shingle_words).alias("_sh"),
+    )
+    sig = sh.select(
+        "id", H.minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    ).select(
+        "id", H.lsh_bands(F.col("_sig"), bands, rows_per_band).alias("bands")
     )
     b = sig.select("id", F.explode("bands").alias("band"))
     counts = b.groupBy("band").agg(F.count(F.lit(1)).alias("_n"))

@@ -56,15 +56,15 @@ def candidate_pairs(
 ) -> DataFrame:
     """names → (name_a, name_b) candidate pairs, name_a < name_b."""
     rows_per_band = num_hashes // bands
-    sig = names.select(
-        F.col(name_col).alias("name"),
-        H.lsh_bands(
-            H.minhash_signature(
-                H.char_shingles(F.lower(F.col(name_col))), num_hashes
-            ),
-            bands,
-            rows_per_band,
-        ).alias("bands"),
+    # staged projections (shingles → signature → bands): one computation
+    # per level per row, not one per hash function
+    sig = (
+        names.select(
+            F.col(name_col).alias("name"),
+            H.char_shingles(F.lower(F.col(name_col))).alias("_sh"),
+        )
+        .select("name", H.minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+        .select("name", H.lsh_bands(F.col("_sig"), bands, rows_per_band).alias("bands"))
     )
     bucketed = sig.select("name", F.explode("bands").alias("band"))
     # cap pathological buckets before the self-join (LSH guardrail)

@@ -29,13 +29,15 @@ def gradient_quotas(
     r_total = entities_ranked.count()
     budget = total_budget_per_entity * r_total
     tri = r_total * (r_total + 1) / 2.0
+    # floor(x + 0.5) instead of round(): identical half-up semantics in
+    # Spark and ANSI/DuckDB SQL (round() is half-even in some engines)
     return entities_ranked.withColumn(
         "quota",
         F.greatest(
             F.lit(1),
-            F.round(F.lit(budget) * (F.lit(r_total) - F.col(rank_col)) / F.lit(tri)).cast(
-                "int"
-            ),
+            F.floor(
+                F.lit(budget) * (F.lit(r_total) - F.col(rank_col)) / F.lit(tri) + 0.5
+            ).cast("int"),
         ),
     )
 
