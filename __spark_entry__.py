@@ -206,7 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "name",
             "type",
             F.col("mention_count").cast("bigint").alias("mention_count"),
-            F.size("source_chunk_ids").alias("n_chunks"),
+            F.col("chunk_count").cast("int").alias("n_chunks"),
             "description",
         )
     q["t4_entity_merge"] = t4_entity_merge
@@ -215,7 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = _mentions_from_lineitem(spark, sf)
         return build_edges(m).select(
             "src", "tgt", F.round("weight", 4).alias("weight"), "keywords",
-            F.size("source_chunk_ids").alias("n_chunks"),
+            F.col("chunk_count").cast("int").alias("n_chunks"),
         )
     q["t5_edge_merge"] = t5_edge_merge
 

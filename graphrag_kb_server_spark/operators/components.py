@@ -62,33 +62,34 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+            (
+                F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))
+            ).cast("int").alias("changed"),
+        )
+        # pointer jumping (label(v) <- label(label(v)) halves remaining
+        # depth) folded into the SAME round plan — one checkpoint and
+        # one action per iteration, not two
+        jump = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("jlabel")
+        )
         new_labels = (
-            labels.join(neigh, "node", "left")
+            stepped.join(jump, "label", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-                (
-                    F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))
-                ).cast("int").alias("changed"),
+                F.coalesce("jlabel", "label").alias("label"),
+                "changed",
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
         n_changed = new_labels.agg(F.sum("changed")).first()[0] or 0
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
-        # propagate labels transitively faster: pointer-jumping join
-        # label(v) <- label(label(v)) halves the remaining depth
-        jump = labels.select(
-            F.col("node").alias("label"), F.col("label").alias("jlabel")
-        )
-        labels = (
-            labels.join(jump, "label", "left")
-            .select("node", F.coalesce("jlabel", "label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
 
     return labels.select("node", F.col("label").alias("component"))
 

@@ -102,12 +102,14 @@ def extract_triples(text: str, is_first_chunk: bool = True) -> list[dict]:
     return out
 
 
-def extract_mentions(chunks: DataFrame) -> DataFrame:
+def extract_mentions(chunks: DataFrame, batch_hook=None) -> DataFrame:
     """chunks(chunk_id, doc_id, chunk_ix, content) → mentions table.
 
     ``mapInPandas`` = Arrow-batched, one-to-many, narrow (no shuffle).
-    To swap in a real LLM extractor, replace the ``extract_triples``
-    call with a batched client call — schema and plan are unchanged.
+    ``batch_hook(pdf)`` is the model-client boundary: a real deployment
+    calls its batched LLM/NER inference here (the deterministic
+    extractor below stands in for its output); the scaling benchmark
+    injects a calibrated fixed-FLOPs burn to emulate inference cost.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -116,6 +118,8 @@ def extract_mentions(chunks: DataFrame) -> DataFrame:
             "obj_type", "description", "weight",
         ]
         for pdf in batches:
+            if batch_hook is not None:
+                batch_hook(pdf)
             rows = []
             for cid, did, ix, content in zip(
                 pdf["chunk_id"], pdf["doc_id"], pdf["chunk_ix"], pdf["content"]

@@ -13,18 +13,32 @@ Reference semantics (artifact-pinned, SURVEY.md §2.2):
   ``entities.degree``, ``relationships.combined_degree`` in
   /root/reference/data/onepoint/output/*.parquet).
 
-Scale design: mention counts per entity are Zipfian (hub entities appear
-in a large fraction of pages), so a naive ``groupBy(name)`` puts one hub
-key in one reducer task. We aggregate in TWO phases: a map-side-style
-partial aggregate keyed by ``(name, salt)`` (salt = hash(chunk_id) % S
-spreads a hub key over S reducers), then a final aggregate by ``name``
-over the ≤S partial rows per key. All aggregation states are algebraic
-(collect_set/sum/count merge associatively), so the result is exact.
-AQE skew-join handling is ON as a second line of defense for the joins.
+Scale design (the skew-critical stage):
 
-Determinism: every array output is ``array_sort``-ed and every "pick
-one" is an explicit ``min``/``max`` — no implicit row-order dependence
-(distributed row order is nondeterministic).
+1. **Salted two-phase aggregation.** Mention counts per entity are
+   Zipfian — hub entities appear in a large fraction of pages — so a
+   naive ``groupBy(name)`` puts each hub key in one reducer task. We
+   aggregate twice: a partial aggregate keyed by ``(name, salt)`` with
+   ``salt = hash(chunk_id) % S``, then a final aggregate by ``name``
+   over ≤S partial rows per key. All states merge associatively, so
+   the result is exact.
+
+2. **Bounded aggregates.** The reference concatenates ALL descriptions
+   and chunk ids per entity (then LLM-summarizes over-long
+   descriptions). At web scale a hub entity has millions of mentions —
+   unbounded collect_set is the memory bomb. Documented deviation:
+   - ``description`` / ``source_chunk_ids`` are deterministic bounded
+     samples (lexicographically smallest K — order-free, partitioning-
+     independent), the stand-in for the reference's LLM summarization
+     of over-long merged descriptions;
+   - exact totals are kept as columns: ``mention_count`` and
+     ``chunk_count``. chunk_count is EXACT because the salt is derived
+     from chunk_id — each distinct chunk id lands in exactly one salt
+     bucket, so per-salt distinct counts are disjoint and additive;
+   - full provenance remains queryable in the ``mentions`` table.
+
+3. Every "pick one" is an explicit min — no implicit row-order
+   dependence anywhere.
 """
 
 from __future__ import annotations
@@ -35,110 +49,106 @@ from pyspark.sql import functions as F
 from .. import GRAPH_FIELD_SEP
 
 DEFAULT_SALT_BUCKETS = 16
+MAX_SOURCE_CHUNKS = 64
+MAX_DESCRIPTIONS = 16
 
 
-def _salted_two_phase(
-    df: DataFrame,
-    key_cols: list[str],
-    salt_source: str,
-    partial_aggs: list,
-    final_aggs: list,
-    salt_buckets: int,
-) -> DataFrame:
-    """Generic exact two-phase aggregation with key salting.
+def _capped_sorted_set(col: str, k: int):
+    return F.slice(F.array_sort(F.collect_set(col)), 1, k)
 
-    partial_aggs/final_aggs are lists of Column aggregates; the final
-    aggregates must consume the partial outputs by alias.
-    """
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_buckets))
+
+def _merge_capped(col: str, k: int):
+    return F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_set(col)))), 1, k
     )
-    partial = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs)
-    return partial.groupBy(*key_cols).agg(*final_aggs)
 
 
-def build_nodes(mentions: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
-    """mentions → nodes(name, type, description, source_chunk_ids, mention_count).
-
-    T4 entity merge. Each mention contributes its subj and obj; type is
-    resolved by majority-free deterministic rule (min of distinct types —
-    explicit, order-independent); descriptions joined with <SEP> in
-    sorted order, mirroring the reference's <SEP>-joined provenance.
-    """
+def build_nodes(
+    mentions: DataFrame,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    max_source_chunks: int = MAX_SOURCE_CHUNKS,
+    max_descriptions: int = MAX_DESCRIPTIONS,
+) -> DataFrame:
+    """mentions → nodes(name, type, description, source_chunk_ids,
+    mention_count, chunk_count). T4 entity merge."""
     sides = mentions.select(
-        F.col("subj").alias("name"),
-        F.col("subj_type").alias("type"),
-        F.col("description"),
-        F.col("chunk_id"),
-        F.col("weight"),
+        F.col("subj").alias("name"), F.col("subj_type").alias("type"),
+        "description", "chunk_id",
     ).unionByName(
         mentions.select(
-            F.col("obj").alias("name"),
-            F.col("obj_type").alias("type"),
-            F.col("description"),
-            F.col("chunk_id"),
-            F.col("weight"),
+            F.col("obj").alias("name"), F.col("obj_type").alias("type"),
+            "description", "chunk_id",
         )
     )
-    partial_aggs = [
+    salted = sides.withColumn(
+        "_salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt_buckets))
+    )
+    # one collect_set per key; count + capped sample derived from it in
+    # a projection. (A countDistinct here would trigger Catalyst's
+    # Expand-based distinct rewrite — 6x slower measured. Per-salt set
+    # size is bounded by |distinct chunks of the key| / salt_buckets;
+    # scale salt_buckets with corpus size.)
+    partial = salted.groupBy("name", "_salt").agg(
         F.collect_set("type").alias("p_types"),
-        F.collect_set("description").alias("p_descs"),
-        F.collect_set("chunk_id").alias("p_chunks"),
+        _capped_sorted_set("description", max_descriptions).alias("p_descs"),
         F.count(F.lit(1)).alias("p_cnt"),
-    ]
-    final_aggs = [
+        F.collect_set("chunk_id").alias("_chunk_set"),
+    ).select(
+        "name", "_salt", "p_types", "p_descs", "p_cnt",
+        # chunk ids are disjoint across salts (salt = hash(chunk_id)),
+        # so per-salt distinct counts are additive → exact global count
+        F.size("_chunk_set").alias("p_chunk_cnt"),
+        F.slice(F.array_sort("_chunk_set"), 1, max_source_chunks).alias("p_chunks"),
+    )
+    return partial.groupBy("name").agg(
         F.array_min(F.flatten(F.collect_set("p_types"))).alias("type"),
         F.concat_ws(
-            GRAPH_FIELD_SEP,
-            F.array_sort(F.array_distinct(F.flatten(F.collect_set("p_descs")))),
+            GRAPH_FIELD_SEP, _merge_capped("p_descs", max_descriptions)
         ).alias("description"),
-        F.array_sort(
-            F.array_distinct(F.flatten(F.collect_set("p_chunks")))
-        ).alias("source_chunk_ids"),
+        _merge_capped("p_chunks", max_source_chunks).alias("source_chunk_ids"),
         F.sum("p_cnt").alias("mention_count"),
-    ]
-    return _salted_two_phase(
-        sides, ["name"], "chunk_id", partial_aggs, final_aggs, salt_buckets
+        F.sum("p_chunk_cnt").alias("chunk_count"),
     )
 
 
-def build_edges(mentions: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
-    """mentions → edges(src, tgt, weight, keywords, description, source_chunk_ids).
-
-    T5 relation merge: undirected key = (least, greatest); weight =
-    SUM of mention weights (reference sums LLM scores); keywords =
-    sorted distinct predicates joined with <SEP>.
-    """
+def build_edges(
+    mentions: DataFrame,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    max_source_chunks: int = MAX_SOURCE_CHUNKS,
+    max_descriptions: int = MAX_DESCRIPTIONS,
+) -> DataFrame:
+    """mentions → edges(src, tgt, weight, keywords, description,
+    source_chunk_ids, chunk_count). T5 relation merge: undirected key,
+    SUMmed weights (reference sums LLM scores)."""
     undirected = mentions.select(
         F.least("subj", "obj").alias("src"),
         F.greatest("subj", "obj").alias("tgt"),
-        F.col("pred"),
-        F.col("description"),
-        F.col("chunk_id"),
-        F.col("weight"),
+        "pred", "description", "chunk_id", "weight",
     )
-    partial_aggs = [
+    salted = undirected.withColumn(
+        "_salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("src", "tgt", "_salt").agg(
         F.sum("weight").alias("p_weight"),
         F.collect_set("pred").alias("p_preds"),
-        F.collect_set("description").alias("p_descs"),
-        F.collect_set("chunk_id").alias("p_chunks"),
-    ]
-    final_aggs = [
+        _capped_sorted_set("description", max_descriptions).alias("p_descs"),
+        F.collect_set("chunk_id").alias("_chunk_set"),
+    ).select(
+        "src", "tgt", "_salt", "p_weight", "p_preds", "p_descs",
+        F.size("_chunk_set").alias("p_chunk_cnt"),
+        F.slice(F.array_sort("_chunk_set"), 1, max_source_chunks).alias("p_chunks"),
+    )
+    return partial.groupBy("src", "tgt").agg(
         F.sum("p_weight").alias("weight"),
         F.concat_ws(
             GRAPH_FIELD_SEP,
             F.array_sort(F.array_distinct(F.flatten(F.collect_set("p_preds")))),
         ).alias("keywords"),
         F.concat_ws(
-            GRAPH_FIELD_SEP,
-            F.array_sort(F.array_distinct(F.flatten(F.collect_set("p_descs")))),
+            GRAPH_FIELD_SEP, _merge_capped("p_descs", max_descriptions)
         ).alias("description"),
-        F.array_sort(
-            F.array_distinct(F.flatten(F.collect_set("p_chunks")))
-        ).alias("source_chunk_ids"),
-    ]
-    return _salted_two_phase(
-        undirected, ["src", "tgt"], "chunk_id", partial_aggs, final_aggs, salt_buckets
+        _merge_capped("p_chunks", max_source_chunks).alias("source_chunk_ids"),
+        F.sum("p_chunk_cnt").alias("chunk_count"),
     )
 
 
@@ -154,9 +164,9 @@ def node_degrees(edges: DataFrame) -> DataFrame:
 def finalize_graph(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Attach degree to nodes and combined_degree to edges.
 
-    degrees is tiny relative to mentions (one row per entity) but can
-    still be large at web scale — Spark picks broadcast vs shuffle join
-    by size (autoBroadcastJoinThreshold + AQE); we don't force it.
+    degrees is one row per entity — small relative to mentions but
+    potentially large at web scale; Spark picks broadcast vs shuffle
+    join by size (autoBroadcastJoinThreshold + AQE), we don't force it.
     """
     deg = node_degrees(edges)
     nodes_out = nodes.join(deg, "name", "left").withColumn(

@@ -157,6 +157,13 @@ def canonicalize_graph(
     that collapse into self-loops are dropped (reference graphs are
     simple undirected graphs).
     """
+    from .graph_build import MAX_DESCRIPTIONS, MAX_SOURCE_CHUNKS
+
+    def _capped_merge(col, k):
+        return F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(col)))), 1, k
+        )
+
     m = mapping
     nodes_c = (
         nodes.join(m, "name")
@@ -165,16 +172,16 @@ def canonicalize_graph(
             F.array_min(F.collect_set("type")).alias("type"),
             F.concat_ws(
                 GRAPH_FIELD_SEP,
-                F.array_sort(
-                    F.array_distinct(
-                        F.flatten(F.collect_list(F.split("description", GRAPH_FIELD_SEP)))
-                    )
-                ),
+                _capped_merge(F.split("description", GRAPH_FIELD_SEP), MAX_DESCRIPTIONS),
             ).alias("description"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("source_chunk_ids")))
-            ).alias("source_chunk_ids"),
+            _capped_merge(F.col("source_chunk_ids"), MAX_SOURCE_CHUNKS).alias(
+                "source_chunk_ids"
+            ),
             F.sum("mention_count").alias("mention_count"),
+            # upper bound after merging groups (chunk sets may overlap
+            # across merged surface forms); exact value would need a
+            # re-count over mentions — documented approximation
+            F.sum("chunk_count").alias("chunk_count"),
         )
     )
     src_map = m.select(F.col("name").alias("src"), F.col("canonical_name").alias("_csrc"))
@@ -190,6 +197,7 @@ def canonicalize_graph(
             "keywords",
             "description",
             "source_chunk_ids",
+            "chunk_count",
         )
         .groupBy("src", "tgt")
         .agg(
@@ -204,15 +212,12 @@ def canonicalize_graph(
             ).alias("keywords"),
             F.concat_ws(
                 GRAPH_FIELD_SEP,
-                F.array_sort(
-                    F.array_distinct(
-                        F.flatten(F.collect_list(F.split("description", GRAPH_FIELD_SEP)))
-                    )
-                ),
+                _capped_merge(F.split("description", GRAPH_FIELD_SEP), MAX_DESCRIPTIONS),
             ).alias("description"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("source_chunk_ids")))
-            ).alias("source_chunk_ids"),
+            _capped_merge(F.col("source_chunk_ids"), MAX_SOURCE_CHUNKS).alias(
+                "source_chunk_ids"
+            ),
+            F.sum("chunk_count").alias("chunk_count"),
         )
     )
     return nodes_c, edges_c
