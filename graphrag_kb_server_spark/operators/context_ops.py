@@ -1,0 +1,176 @@
+"""Q12/Q15/Q20/Q21 + Q17 cache — the remaining kg_query context ops.
+
+- Q12 vector-similarity chunk pick: rank candidate chunks by cosine to
+  the query embedding, keep ``related_chunk_number * n_entities / 2``
+  (/root/reference/graphrag_kb_server/service/lightrag/lightrag_search.py:1472-1510,
+  :1676-1713; query embedding precomputed once :959-974). Fallback to
+  weighted polling on failure is the caller's try/except.
+- Q15 reference list: number surviving chunks, emit
+  ``[id] file_path (last_modified)`` (:826-861).
+- Q20 dedup-by-content combine: dedup on all fields except id/created_at,
+  reassign ids (:1758-1788).
+- Q21 <SEP> file-reference expansion (:1791-1817).
+- Q17 LLM-response cache: ``llm_cache(args_hash, content)`` keyed by a
+  deterministic hash of (mode, query, params) — ``compute_args_hash``
+  analogue (:499-513); the cache IS a table (determinism fixture).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import GRAPH_FIELD_SEP
+from ..functions import vectors as V
+from ..functions.embedding import embed_text
+
+
+def vector_similarity_chunk_pick(
+    candidate_chunk_ids: DataFrame,
+    chunk_embeddings: DataFrame,
+    query_text: str,
+    n_entities: int,
+    related_chunk_number: int = 5,
+) -> DataFrame:
+    """Q12 — candidates(chunk_id) → top ``related_chunk_number *
+    n_entities / 2`` by cosine to the query embedding."""
+    num = max(int(related_chunk_number * n_entities / 2), 1)
+    qvec = embed_text(query_text)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = candidate_chunk_ids.join(chunk_embeddings, "chunk_id").withColumn(
+        "vscore", V.cosine(V.to_double(F.col("embedding")), V.to_double(q))
+    )
+    return (
+        scored.orderBy(F.desc("vscore"), "chunk_id")
+        .limit(num)
+        .select("chunk_id", "vscore")
+    )
+
+
+def reference_list(
+    surviving_chunks: DataFrame,
+    path_properties: DataFrame | None = None,
+    order_col: str = "merge_ix",
+) -> DataFrame:
+    """Q15 — (ref_ix, file_path, last_modified) numbered reference rows;
+    last_modified joined from the path-properties table (for webtext the
+    authoritative source is ``warc_ts`` — P12)."""
+    w = Window.orderBy(order_col)
+    refs = (
+        surviving_chunks.select("file_path", order_col)
+        .withColumn("_rk", F.row_number().over(Window.partitionBy("file_path").orderBy(order_col)))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumn("ref_ix", F.row_number().over(w))
+        .drop(order_col)
+    )
+    if path_properties is not None:
+        refs = refs.join(
+            path_properties.select("file_path", "last_modified"), "file_path", "left"
+        )
+    else:
+        refs = refs.withColumn("last_modified", F.lit(None).cast("timestamp"))
+    return refs.select("ref_ix", "file_path", "last_modified")
+
+
+def dedup_by_content_combine(
+    parts: list[DataFrame],
+    content_cols: list[str],
+    id_col: str = "id",
+) -> DataFrame:
+    """Q20 — union context lists, dedup on every column except
+    id/created_at, reassign sequential ids in first-occurrence order."""
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    pos_w = Window.orderBy(F.monotonically_increasing_id())
+    tagged = unioned.withColumn("_pos", F.row_number().over(pos_w))
+    first_w = Window.partitionBy(*content_cols).orderBy("_pos")
+    out = (
+        tagged.withColumn("_rk", F.row_number().over(first_w))
+        .where(F.col("_rk") == 1)
+        .withColumn(id_col, F.row_number().over(Window.orderBy("_pos")))
+        .drop("_pos", "_rk")
+    )
+    return out
+
+
+def expand_file_references(refs: DataFrame, file_col: str = "file_path") -> DataFrame:
+    """Q21 — split ``<SEP>``-joined multi-file references into separate
+    rows, dedup by file (first occurrence wins by ref_ix)."""
+    exploded = refs.withColumn(
+        file_col, F.explode(F.split(F.col(file_col), GRAPH_FIELD_SEP))
+    )
+    w = Window.partitionBy(file_col).orderBy("ref_ix")
+    return (
+        exploded.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def compute_args_hash(mode: str, query: str, params: dict) -> str:
+    """Q17 — deterministic cache key (compute_args_hash analogue)."""
+    payload = json.dumps({"mode": mode, "query": query, "params": params},
+                         sort_keys=True, ensure_ascii=False)
+    return hashlib.md5(payload.encode("utf-8")).hexdigest()
+
+
+class LlmCache:
+    """The llm_cache table: parquet-backed KV of args_hash → content.
+
+    Stays a *table* (not an in-process dict) because it is the
+    determinism fixture the reference relies on (kv_store_llm_response_cache).
+    Writes are append + last-write-wins on read (max by written_at).
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def get(self, args_hash: str) -> str | None:
+        import os
+
+        if not os.path.exists(self.path):
+            return None
+        df = self.spark.read.parquet(self.path)
+        row = (
+            df.where(F.col("args_hash") == args_hash)
+            .orderBy(F.desc("written_at"))
+            .select("content")
+            .first()
+        )
+        return row["content"] if row else None
+
+    def put(self, args_hash: str, content: str) -> None:
+        self.spark.createDataFrame(
+            [(args_hash, content)], "args_hash string, content string"
+        ).withColumn("written_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(self.path)
+
+
+def answer_with_cache(
+    cache: LlmCache, mode: str, query: str, params: dict, context_str: str,
+    llm_fn=None,
+) -> str:
+    """Q17 — cache lookup → LLM slot → post-cleanup → cache store.
+    ``llm_fn(prompt)`` is the model boundary; the deterministic echo
+    stand-in returns a digest of the context (reproducible)."""
+    h = compute_args_hash(mode, query, params)
+    hit = cache.get(h)
+    if hit is not None:
+        return hit
+    if llm_fn is None:
+        def llm_fn(prompt: str) -> str:
+            d = hashlib.md5(prompt.encode("utf-8")).hexdigest()[:12]
+            return f"[deterministic-echo {d}] {query}"
+    answer = llm_fn(f"context:\n{context_str}\n\nquestion: {query}")
+    # reference post-cleanup replace chain (lightrag_search.py:560-590)
+    for junk in ("<|endoftext|>", "<|im_end|>"):
+        answer = answer.replace(junk, "")
+    cache.put(h, answer.strip())
+    return answer.strip()

@@ -1,0 +1,152 @@
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_kb_server_spark.operators.context_ops import (
+    LlmCache,
+    answer_with_cache,
+    compute_args_hash,
+    dedup_by_content_combine,
+    expand_file_references,
+    reference_list,
+    vector_similarity_chunk_pick,
+)
+from graphrag_kb_server_spark.operators.personalization import (
+    build_search_question,
+    candidate_entities,
+    generate_questions,
+    group_by_type,
+    last_modified,
+    match_and_score,
+    postprocess_topics,
+    remove_abbreviations,
+    sort_by_relevance,
+    topics_from_text,
+)
+from graphrag_kb_server_spark.operators.reports import community_inputs, generate_reports
+
+
+def test_q12_vector_chunk_pick(spark):
+    from graphrag_kb_server_spark.functions.embedding import embed_text
+    import pandas as pd
+    import numpy as np
+
+    texts = {"c1": "Alice Johnson acquired Acme", "c2": "totally unrelated words here",
+             "c3": "Alice Johnson and Acme Systems again"}
+    emb = spark.createDataFrame(
+        pd.DataFrame({"chunk_id": list(texts), "embedding": [np.array(embed_text(t)) for t in texts.values()]})
+    )
+    cands = spark.createDataFrame([(c,) for c in texts], "chunk_id string")
+    out = vector_similarity_chunk_pick(cands, emb, "Alice Johnson Acme", n_entities=1, related_chunk_number=2)
+    rows = out.collect()
+    assert len(rows) == 1  # 2*1/2
+    assert rows[0]["chunk_id"] in ("c1", "c3")
+
+
+def test_q15_reference_list_and_q21_expansion(spark):
+    chunks = spark.createDataFrame(
+        [("a.txt", 0), ("b.txt<SEP>c.txt", 1), ("a.txt", 2)],
+        "file_path string, merge_ix int",
+    )
+    refs = reference_list(chunks)
+    assert [(r["ref_ix"], r["file_path"]) for r in refs.orderBy("ref_ix").collect()] == [
+        (1, "a.txt"), (2, "b.txt<SEP>c.txt"),
+    ]
+    expanded = expand_file_references(refs).orderBy("file_path").collect()
+    assert {r["file_path"] for r in expanded} == {"a.txt", "b.txt", "c.txt"}
+
+
+def test_q20_dedup_combine(spark):
+    a = spark.createDataFrame([(1, "x", "d1"), (2, "y", "d2")], "id int, content string, extra string")
+    b = spark.createDataFrame([(9, "x", "d1"), (3, "z", "d3")], "id int, content string, extra string")
+    out = dedup_by_content_combine([a, b], ["content", "extra"]).orderBy("id").collect()
+    assert [r["content"] for r in out] == ["x", "y", "z"]
+    assert [r["id"] for r in out] == [1, 2, 3]  # ids reassigned
+
+
+def test_q17_llm_cache(spark, tmp_out):
+    cache = LlmCache(spark, f"{tmp_out}/llm_cache")
+    h = compute_args_hash("hybrid", "q?", {"k": 1})
+    assert cache.get(h) is None
+    a1 = answer_with_cache(cache, "hybrid", "q?", {"k": 1}, "ctx")
+    a2 = answer_with_cache(cache, "hybrid", "q?", {"k": 1}, "DIFFERENT ctx")
+    assert a1 == a2  # cache hit, deterministic
+    a3 = answer_with_cache(cache, "local", "q?", {"k": 1}, "ctx")
+    assert a3 != a1 or compute_args_hash("local", "q?", {"k": 1}) != h
+
+
+def _centrality(spark):
+    return spark.createDataFrame(
+        [("Artificial Intelligence", "concept", "desc", 0.9),
+         ("AI", "concept", "d", 0.8),
+         ("Berlin", "geo", "d", 0.7),
+         ("Alice Johnson", "person", "d", 0.6)],
+        "entity_id string, entity_type string, description string, centrality double",
+    )
+
+
+def test_p1_p2_p3_p5(spark):
+    cand = candidate_entities(_centrality(spark), ["concept", "geo"], limit=3)
+    assert [r["entity_id"] for r in cand.collect()] == [
+        "Artificial Intelligence", "AI", "Berlin",
+    ]
+    scored = match_and_score(cand, "profile interested in artificial intelligence berlin", threshold=0.5)
+    names = {r["entity_id"] for r in scored.collect()}
+    assert "Berlin" in names
+    no_abbrev = remove_abbreviations(_centrality(spark))
+    assert "AI" not in {r["entity_id"] for r in no_abbrev.collect()}
+    grouped = {r["entity_type"]: r["entities"] for r in group_by_type(_centrality(spark)).collect()}
+    assert grouped["geo"] == ["Berlin"]
+
+
+def test_p6_relevance_sort_and_question():
+    q = build_search_question("data engineer", ["spark", "graphs"])
+    assert "data engineer" in q and "spark, graphs" in q
+
+
+def test_p6_sort(spark):
+    docs = spark.createDataFrame(
+        [("a", "low"), ("b", "very_high"), ("c", "medium")],
+        "file_path string, relevancy_score string",
+    )
+    out = [r["file_path"] for r in sort_by_relevance(docs).collect()]
+    assert out == ["b", "c", "a"]
+
+
+def test_p9_p10(spark):
+    topics = spark.createDataFrame(
+        [("T1", "x" * 3000), ("T1", "dup"), ("T2", "ok")], "name string, description string"
+    )
+    pp = postprocess_topics(topics)
+    assert pp.count() == 2
+    assert pp.where("name = 'T1'").first()["description"].__len__() <= 1024
+    nodes = spark.createDataFrame([("Berlin",), ("Acme Systems",)], "name string")
+    t = topics_from_text(nodes, ["berlin", "unknown"])
+    assert [r["name"] for r in t.collect()] == ["Berlin"]
+    qs = generate_questions(t).first()
+    assert len(qs["questions"]) == 3 and "Berlin" in qs["questions"][0]
+
+
+def test_p12_last_modified(spark):
+    pages = spark.createDataFrame(
+        [("u1", dt.datetime(2026, 1, 2))], "url string, warc_ts timestamp"
+    )
+    out = last_modified(pages).first()
+    assert out["file_path"] == "u1" and out["last_modified"].year == 2026
+
+
+def test_g8_reports(spark):
+    asg = spark.createDataFrame(
+        [("a", 0, "c0"), ("b", 0, "c0"), ("c", 0, "c1")],
+        "node string, level int, cluster string",
+    )
+    nodes = spark.createDataFrame(
+        [("a", "da", 3), ("b", "db", 1), ("c", "dc", 2)],
+        "name string, description string, degree int",
+    )
+    inputs = community_inputs(asg, nodes)
+    reports = {r["cluster"]: r for r in generate_reports(inputs).collect()}
+    assert reports["c0"]["size"] == 2
+    assert reports["c0"]["title"].startswith("Community of")
+    assert reports["c1"]["summary"].startswith("dc"[:2])

@@ -35,7 +35,7 @@ REPO = Path(__file__).resolve().parent.parent
 
 CHILD = r"""
 import json, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 import numpy as np
 from pyspark.sql import functions as F
 from graphrag_kb_server_spark.session import get_spark
@@ -112,7 +112,7 @@ def run_level(cpus: int, corpus: str, slot: int, n_docs: int) -> dict:
         OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1"
     )
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=str(REPO)),
+        [sys.executable, "-c", CHILD.replace("@REPO@", str(REPO)),
          str(cpus), corpus, str(slot), str(n_docs)],
         capture_output=True, text=True, cwd=REPO, env=env,
     )
