@@ -63,6 +63,12 @@ class QueryParams:
     max_relation_tokens: int = 800
     max_total_tokens: int = 5000
     related_chunk_number: int = 5
+    # Q11 vs Q12 (lightrag_search.py:1472-1521): 'weighted_polling' or
+    # 'vector' (vector falls back to polling on failure)
+    chunk_pick: str = "weighted_polling"
+    # Q19 (lightrag_search.py:454-487)
+    only_need_context: bool = False
+    only_need_prompt: bool = False
 
 
 @dataclass
@@ -81,6 +87,7 @@ class QueryContext:
     relations: list[dict] = field(default_factory=list)
     chunks: list[dict] = field(default_factory=list)
     keywords: list[str] = field(default_factory=list)
+    references: list[dict] = field(default_factory=list)
     processing_info: dict = field(default_factory=dict)
 
     def context_str(self) -> str:
@@ -211,14 +218,33 @@ def kg_query(
     ent_chunk_ids = None
     if entities is not None:
         ent_chunks = gather_chunks_from_members(entities, "name")
-        quotas = gradient_quotas(
-            entities.select("name", "merge_ix").withColumnRenamed("merge_ix", "rank"),
-            "rank",
-            params.related_chunk_number,
-        )
-        picked = weighted_polling_pick(
-            ent_chunks.withColumnRenamed("member", "name"), quotas, "name"
-        )
+        if params.chunk_pick == "vector":
+            # Q12: rank candidates by cosine to the query embedding;
+            # on failure the reference falls back to weighted polling
+            from ..operators.context_ops import vector_similarity_chunk_pick
+
+            try:
+                n_ent = entities.count()
+                picked = vector_similarity_chunk_pick(
+                    ent_chunks.select("chunk_id").distinct(),
+                    g.chunk_embeddings,
+                    query,
+                    n_entities=max(n_ent, 1),
+                    related_chunk_number=params.related_chunk_number,
+                ).join(ent_chunks, "chunk_id").withColumnRenamed("member", "name")
+            except Exception:
+                picked = None
+        else:
+            picked = None
+        if picked is None:
+            quotas = gradient_quotas(
+                entities.select("name", "merge_ix").withColumnRenamed("merge_ix", "rank"),
+                "rank",
+                params.related_chunk_number,
+            )
+            picked = weighted_polling_pick(
+                ent_chunks.withColumnRenamed("member", "name"), quotas, "name"
+            )
         ent_chunk_ids = picked.select("chunk_id")
         chunk_branches.append(
             rank_branch(
@@ -274,6 +300,14 @@ def kg_query(
              "file_path": r["file_path"], "ref_ix": i + 1}
             for i, r in enumerate(merged_chunks.orderBy("merge_ix").collect())
         ]
+        # Q15/Q21: numbered reference list with <SEP> expansion
+        from ..operators.context_ops import expand_file_references, reference_list
+
+        refs = expand_file_references(reference_list(merged_chunks))
+        ctx.references = [
+            {"ref_ix": r["ref_ix"], "file_path": r["file_path"]}
+            for r in refs.orderBy("ref_ix").collect()
+        ]
     ctx.processing_info = {
         "mode": mode,
         "n_entities": len(ctx.entities),
@@ -281,3 +315,51 @@ def kg_query(
         "n_chunks": len(ctx.chunks),
     }
     return ctx
+
+
+def answer_query(
+    spark: SparkSession,
+    g: GraphTables,
+    query: str,
+    params: QueryParams | None = None,
+    cache_path: str | None = None,
+    llm_fn=None,
+    max_retries: int = 5,
+) -> dict:
+    """Q17/Q18/Q19 — the full chat surface: kg_query → context/prompt
+    modes → cached LLM answer, with the reference's retry-with-shrunken-
+    params policy (≤5 retries at max_entity/relation size 10,
+    lightrag_search.py:202-240)."""
+    from ..operators.context_ops import LlmCache, answer_with_cache
+
+    params = params or QueryParams()
+    attempt_params = params
+    last_err: Exception | None = None
+    for attempt in range(max_retries):
+        try:
+            ctx = kg_query(spark, g, query, attempt_params)
+            break
+        except Exception as e:  # Q18: shrink and retry
+            last_err = e
+            attempt_params = QueryParams(
+                mode=params.mode, top_k=10, max_entity_tokens=100,
+                max_relation_tokens=100, max_total_tokens=2000,
+                related_chunk_number=2, chunk_pick="weighted_polling",
+            )
+    else:
+        raise last_err  # exhausted retries
+    context_str = ctx.context_str()
+    if params.only_need_context:
+        return {"context": context_str, "references": ctx.references,
+                "processing_info": ctx.processing_info}
+    prompt = f"---Context---\n{context_str}\n\n---Question---\n{query}\n"
+    if params.only_need_prompt:
+        return {"prompt": prompt, "references": ctx.references,
+                "processing_info": ctx.processing_info}
+    cache = LlmCache(spark, cache_path or "/tmp/kgspark_llm_cache")
+    answer = answer_with_cache(
+        cache, params.mode, query,
+        {"top_k": attempt_params.top_k}, context_str, llm_fn=llm_fn,
+    )
+    return {"answer": answer, "references": ctx.references,
+            "processing_info": ctx.processing_info}

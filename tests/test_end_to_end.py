@@ -103,3 +103,35 @@ def test_incremental_anti_join(spark, indexed):
     # new docs show up
     extra = docs.limit(5).withColumn("doc_id", F.concat(F.lit("new-"), "doc_id"))
     assert incremental_docs(docs.unionByName(extra), doc_status).count() == 5
+
+
+def test_answer_query_modes_and_q12(spark, indexed, tmp_out):
+    from graphrag_kb_server_spark.plans.query_pipeline import answer_query
+
+    out, _ = indexed
+    g = _graph_tables(spark, out)
+    hub = (
+        spark.read.parquet(f"{out}/nodes")
+        .orderBy(F.desc("mention_count"))
+        .first()["name"]
+    )
+    q = f"Tell me about {hub}"
+    ctx_only = answer_query(
+        spark, g, q, QueryParams(mode="hybrid", top_k=8, only_need_context=True),
+        cache_path=f"{tmp_out}/cache1",
+    )
+    assert "-----Entities-----" in ctx_only["context"]
+    assert ctx_only["references"], "reference list populated"
+    prompt_only = answer_query(
+        spark, g, q, QueryParams(mode="local", top_k=8, only_need_prompt=True),
+        cache_path=f"{tmp_out}/cache1",
+    )
+    assert prompt_only["prompt"].startswith("---Context---")
+    a1 = answer_query(spark, g, q, QueryParams(mode="local", top_k=8),
+                      cache_path=f"{tmp_out}/cache1")
+    a2 = answer_query(spark, g, q, QueryParams(mode="local", top_k=8),
+                      cache_path=f"{tmp_out}/cache1")
+    assert a1["answer"] == a2["answer"]  # Q17 cache
+    # Q12 vector chunk pick path
+    vec = kg_query(spark, g, q, QueryParams(mode="local", top_k=8, chunk_pick="vector"))
+    assert vec.chunks
