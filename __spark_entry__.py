@@ -470,6 +470,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_sessionize"] = s_sessionize
 
+    # ---- Q15/Q20/Q21 context ops ----
+    def q15_reference_list(spark, sf):
+        from graphrag_kb_server_spark.operators.context_ops import reference_list
+        docs = _t(spark, sf, "documents")
+        chunks = docs.select(
+            F.col("source").alias("file_path"), F.col("doc_id").alias("merge_ix")
+        )
+        return reference_list(chunks).select("ref_ix", "file_path")
+    q["q15_reference_list"] = q15_reference_list
+
+    def q21_expand_refs(spark, sf):
+        from graphrag_kb_server_spark.operators.context_ops import (
+            expand_file_references,
+        )
+        docs = _t(spark, sf, "documents")
+        refs = docs.where("doc_id < 50").select(
+            (F.col("doc_id") + 1).cast("int").alias("ref_ix"),
+            F.concat("source", F.lit(SEP), "lang").alias("file_path"),
+        )
+        return expand_file_references(refs)
+    q["q21_expand_refs"] = q21_expand_refs
+
+    def q20_dedup_combine(spark, sf):
+        from graphrag_kb_server_spark.operators.context_ops import (
+            dedup_by_content_combine,
+        )
+        docs = _t(spark, sf, "documents")
+        a = docs.where("doc_id < 300").select(
+            F.col("doc_id").cast("int").alias("id"), "lang", "source"
+        )
+        b = docs.where("doc_id >= 200").select(
+            F.col("doc_id").cast("int").alias("id"), "lang", "source"
+        )
+        return dedup_by_content_combine([a, b], ["lang", "source"], ["id"])
+    q["q20_dedup_combine"] = q20_dedup_combine
+
+    # ---- P1/P6 personalization shapes ----
+    def p1_candidates(spark, sf):
+        from graphrag_kb_server_spark.operators.personalization import (
+            candidate_entities,
+        )
+        ev = _t(spark, sf, "events")
+        cent = ev.select(
+            F.col("event_id").alias("entity_id"),
+            F.col("event_type").alias("entity_type"),
+            F.col("value").alias("centrality"),
+        )
+        return candidate_entities(cent, ["click", "signup"], limit=50)
+    q["p1_candidates"] = p1_candidates
+
+    def p6_relevance_rank(spark, sf):
+        from graphrag_kb_server_spark.operators.personalization import (
+            sort_by_relevance,
+        )
+        docs = _t(spark, sf, "documents")
+        labels = F.when(F.col("lang") == "en", "very_high").when(
+            F.col("lang") == "zh", "high"
+        ).when(F.col("lang") == "es", "medium").when(
+            F.col("lang") == "de", "low"
+        ).otherwise("very_low")
+        d = docs.select(
+            F.col("doc_id").cast("string").alias("file_path"),
+            labels.alias("relevancy_score"),
+        )
+        ranked = sort_by_relevance(d)
+        return ranked.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc(
+                        F.when(F.col("relevancy_score") == "very_high", 100)
+                        .when(F.col("relevancy_score") == "high", 75)
+                        .when(F.col("relevancy_score") == "medium", 50)
+                        .when(F.col("relevancy_score") == "low", 25)
+                        .otherwise(0)
+                    ),
+                    "file_path",
+                )
+            ),
+        )
+    q["p6_relevance_rank"] = p6_relevance_rank
+
     # ---- rows-only entries (iterative / UDF-bearing; no SQL oracle) ----
     def kg_chunks(spark, sf):
         g = _tiny_graph_tables(spark)
@@ -868,6 +950,74 @@ FROM deg
 """
 
     o["g7_histogram"] = "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
+
+    o["q15_reference_list"] = """
+WITH first_occ AS (
+  SELECT source AS file_path, doc_id AS merge_ix,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents QUALIFY rk = 1
+)
+SELECT CAST(row_number() OVER (ORDER BY merge_ix) AS INT) AS ref_ix, file_path
+FROM first_occ
+"""
+
+    o["q21_expand_refs"] = f"""
+WITH refs AS (
+  SELECT CAST(doc_id + 1 AS INT) AS ref_ix,
+         source || '{SEP}' || lang AS file_path
+  FROM documents WHERE doc_id < 50
+),
+exploded AS (
+  SELECT ref_ix, unnest(string_split(file_path, '{SEP}')) AS file_path FROM refs
+)
+SELECT ref_ix, file_path FROM (
+  SELECT ref_ix, file_path,
+         row_number() OVER (PARTITION BY file_path ORDER BY ref_ix) AS rk
+  FROM exploded
+) WHERE rk = 1
+"""
+
+    o["q20_dedup_combine"] = """
+WITH u AS (
+  SELECT 0 AS part, CAST(doc_id AS INT) AS id, lang, source
+  FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT 1 AS part, CAST(doc_id AS INT) AS id, lang, source
+  FROM documents WHERE doc_id >= 200
+),
+pos AS (
+  SELECT *, row_number() OVER (ORDER BY part, id) AS p FROM u
+),
+kept AS (
+  SELECT id, lang, source, p,
+         row_number() OVER (PARTITION BY lang, source ORDER BY p) AS rk
+  FROM pos QUALIFY rk = 1
+)
+SELECT CAST(row_number() OVER (ORDER BY p) AS INT) AS id, lang, source FROM kept
+"""
+
+    o["p1_candidates"] = """
+SELECT event_id AS entity_id, event_type AS entity_type, value AS centrality
+FROM events
+WHERE event_type IN ('click', 'signup')
+ORDER BY value DESC, event_id
+LIMIT 50
+"""
+
+    o["p6_relevance_rank"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS file_path,
+         CASE lang WHEN 'en' THEN 'very_high' WHEN 'zh' THEN 'high'
+                   WHEN 'es' THEN 'medium' WHEN 'de' THEN 'low'
+                   ELSE 'very_low' END AS relevancy_score,
+         CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 75 WHEN 'es' THEN 50
+                   WHEN 'de' THEN 25 ELSE 0 END AS pts
+  FROM documents
+)
+SELECT file_path, relevancy_score,
+       CAST(row_number() OVER (ORDER BY pts DESC, file_path) AS INT) AS rank
+FROM d
+"""
 
     o["s_windowed_events"] = """
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,

@@ -84,15 +84,17 @@ def bench_kg_index(spark, n_docs: int) -> tuple[float, float]:
         canonicalize_graph,
     )
 
+    from graphrag_kb_server_spark.plans.index_pipeline import ensure_parallelism
+
     corpus_path = _ensure_corpus(spark, n_docs)
-    pages = spark.read.parquet(corpus_path)
+    pages = ensure_parallelism(spark.read.parquet(corpus_path))
     t0 = time.time()
     docs = pages.select(
         "url", TXT.extract_text(F.col("text"), F.col("url")).alias("content")
     ).withColumn("doc_id", TXT.doc_id(F.col("content"))).withColumn(
         "file_path", F.col("url")
     )
-    chunks = chunk_documents(docs)
+    chunks = chunk_documents(docs).localCheckpoint(eager=True)
     mentions = extract_mentions(chunks).localCheckpoint(eager=True)
     nodes_raw = build_nodes(mentions).localCheckpoint(eager=True)
     edges_raw = build_edges(mentions).localCheckpoint(eager=True)

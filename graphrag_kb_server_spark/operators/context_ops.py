@@ -79,21 +79,30 @@ def reference_list(
 def dedup_by_content_combine(
     parts: list[DataFrame],
     content_cols: list[str],
+    order_cols: list[str] | None = None,
     id_col: str = "id",
 ) -> DataFrame:
     """Q20 — union context lists, dedup on every column except
-    id/created_at, reassign sequential ids in first-occurrence order."""
-    unioned = parts[0]
-    for p in parts[1:]:
+    id/created_at, reassign sequential ids in first-occurrence order.
+
+    "First occurrence" is made explicit: position = (part index,
+    order_cols within the part) — distributed row order is never used
+    (order_cols defaults to the existing id column)."""
+    order_cols = order_cols or [id_col]
+    tagged_parts = [
+        p.withColumn("_part", F.lit(i)) for i, p in enumerate(parts)
+    ]
+    unioned = tagged_parts[0]
+    for p in tagged_parts[1:]:
         unioned = unioned.unionByName(p)
-    pos_w = Window.orderBy(F.monotonically_increasing_id())
+    pos_w = Window.orderBy("_part", *order_cols)
     tagged = unioned.withColumn("_pos", F.row_number().over(pos_w))
     first_w = Window.partitionBy(*content_cols).orderBy("_pos")
     out = (
         tagged.withColumn("_rk", F.row_number().over(first_w))
         .where(F.col("_rk") == 1)
         .withColumn(id_col, F.row_number().over(Window.orderBy("_pos")))
-        .drop("_pos", "_rk")
+        .drop("_pos", "_rk", "_part")
     )
     return out
 

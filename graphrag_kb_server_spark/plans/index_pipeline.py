@@ -67,6 +67,20 @@ def _exists(path: str) -> bool:
     return os.path.exists(f"{path}/_SUCCESS")
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition iff the plan has fewer partitions than the session's
+    shuffle parallelism. Parquet scans coalesce small files up to
+    ``spark.sql.files.maxPartitionBytes`` — at sandbox scale a whole
+    corpus can land in <8 scan partitions, capping the Python-bound
+    stages (mapInPandas concurrency == input partitions). At real scale
+    the scan gives ample partitions and this is a no-op."""
+    spark = df.sparkSession
+    target = min_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     w = df.write.mode("overwrite")
     if partition_by:
@@ -129,12 +143,14 @@ def run_index(
     chunks = stage(
         "chunks",
         lambda: chunk_documents(
-            documents.select("doc_id", "content", F.col("url").alias("file_path"))
+            ensure_parallelism(
+                documents.select("doc_id", "content", F.col("url").alias("file_path"))
+            )
         ),
     )
 
     # ── T3 extraction (LLM slot, mapInPandas) ────────────────────────
-    mentions = stage("mentions", lambda: extract_mentions(chunks))
+    mentions = stage("mentions", lambda: extract_mentions(ensure_parallelism(chunks)))
 
     # ── T4/T5 salted two-phase merges ────────────────────────────────
     nodes_raw = stage("nodes_raw", lambda: build_nodes(mentions))

@@ -168,18 +168,68 @@ def kg_query(
     want_global = mode in ("global", "hybrid", "mix")
     want_vector = mode == "mix"
 
+    # Reference hybrid semantics (lightrag_search.py:984-1066): the
+    # local (entity) search ALSO yields the edges incident to its top
+    # entities, and the global (relation) search ALSO yields its edges'
+    # endpoint entities; each final list is the round-robin interleave
+    # of its two branches with first-occurrence dedup.
+    loc = _entity_search(g, qvec, params.top_k) if want_local else None
+    glob = _relation_search(g, qvec, params.top_k) if want_global else None
+    if loc is not None:
+        loc = loc.localCheckpoint(eager=True)
+    if glob is not None:
+        glob = glob.localCheckpoint(eager=True)
+
     ent_branches: list[DataFrame] = []
-    if want_local:
-        loc = _entity_search(g, qvec, params.top_k)
+    if loc is not None:
         ent_branches.append(rank_branch(loc, [F.desc("vscore"), "name"], 0))
+    if glob is not None:
+        # endpoint entities of the top relations, in relation-score order
+        endpoints = glob.select(
+            F.explode(F.array("src", "tgt")).alias("name"), "vscore"
+        ).groupBy("name").agg(F.max("vscore").alias("vscore"))
+        ep = endpoints.join(g.nodes, "name").select(
+            "name", "type", "description", "degree", "source_chunk_ids", "vscore"
+        )
+        ent_branches.append(
+            rank_branch(ep, [F.desc("vscore"), "name"], len(ent_branches))
+        )
     entities = (
         round_robin_merge(ent_branches, ["name"]) if ent_branches else None
     )
 
     rel_branches: list[DataFrame] = []
-    if want_global:
-        glob = _relation_search(g, qvec, params.top_k)
+    if glob is not None:
         rel_branches.append(rank_branch(glob, [F.desc("vscore"), "src", "tgt"], 0))
+    if loc is not None:
+        # edges incident to the top local entities, ranked by the
+        # entity's score then edge weight (one-hop graph expansion)
+        inc = (
+            loc.select("name", "vscore")
+            .join(
+                g.edges,
+                (F.col("name") == F.col("src")) | (F.col("name") == F.col("tgt")),
+            )
+            .groupBy("src", "tgt")
+            .agg(
+                F.max("vscore").alias("vscore"),
+                F.first("keywords").alias("keywords"),
+                F.first("description").alias("description"),
+                F.first("weight").alias("weight"),
+                F.first("combined_degree").alias("combined_degree"),
+                F.first("source_chunk_ids").alias("source_chunk_ids"),
+            )
+        )
+        rel_branches.append(
+            rank_branch(
+                inc.select(
+                    "src", "tgt", "keywords", "description", "weight",
+                    "combined_degree", "source_chunk_ids", "vscore",
+                ),
+                [F.desc("vscore"), F.desc("weight"), "src", "tgt"],
+                len(rel_branches),
+            )
+        )
     relations = (
         round_robin_merge(rel_branches, ["src", "tgt"]) if rel_branches else None
     )

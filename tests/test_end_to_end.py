@@ -135,3 +135,23 @@ def test_answer_query_modes_and_q12(spark, indexed, tmp_out):
     # Q12 vector chunk pick path
     vec = kg_query(spark, g, q, QueryParams(mode="local", top_k=8, chunk_pick="vector"))
     assert vec.chunks
+
+
+def test_hybrid_cross_derivation(spark, indexed):
+    """Reference hybrid: entity list includes endpoint entities from the
+    relation branch; relation list includes edges incident to top local
+    entities (lightrag_search.py:984-1066)."""
+    out, _ = indexed
+    g = _graph_tables(spark, out)
+    hub = (
+        spark.read.parquet(f"{out}/nodes")
+        .orderBy(F.desc("mention_count"))
+        .first()["name"]
+    )
+    ctx_local = kg_query(spark, g, f"About {hub}",
+                         QueryParams(mode="local", top_k=6, max_relation_tokens=800))
+    # local mode must now surface relations via one-hop expansion
+    assert ctx_local.relations, "local mode derives incident relations"
+    ctx_global = kg_query(spark, g, f"About {hub}",
+                          QueryParams(mode="global", top_k=6, max_entity_tokens=400))
+    assert ctx_global.entities, "global mode derives endpoint entities"

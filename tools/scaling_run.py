@@ -51,18 +51,26 @@ corpus = sys.argv[2]
 slot_matmuls = int(sys.argv[3])
 n_docs = int(sys.argv[4])
 
-spark = get_spark("scaling", cpus=cpus, shuffle_partitions=cpus)
-pages = spark.read.parquet(corpus)
+spark = get_spark("scaling", cpus=cpus, shuffle_partitions=cpus * 2)
+# scan partitions cap mapInPandas concurrency at sandbox data sizes —
+# pin the input parallelism so both levels run the same logical job
+# with their full thread count usable
+pages = spark.read.parquet(corpus).repartition(cpus * 2).localCheckpoint(eager=True)
 
 def make_hook(k):
     if k <= 0:
         return None
     def hook(pdf):
-        # calibrated fixed-work inference simulation: k 128x128 matmuls
-        # per chunk row (CPU-bound, SMT-scalable, deterministic work)
-        a = np.ones((128, 128))
-        for _ in range(k * len(pdf)):
-            a = a @ a * 0.0 + 1.0
+        # calibrated fixed-work inference simulation: k*20000 pure-python
+        # integer ops per chunk row. Pure python (no BLAS) guarantees the
+        # burn stays inside its ONE task slot — a matmul burn was observed
+        # leaking extra cores through OpenBLAS threading, inflating the
+        # low-parallelism throughput and invalidating the efficiency.
+        n = k * 20000 * len(pdf)
+        x = 0
+        for i in range(n):
+            x += i & 1023
+        return x
     return hook
 
 def run_once():
@@ -70,7 +78,10 @@ def run_once():
         "url", TXT.extract_text(F.col("text"), F.col("url")).alias("content")
     ).withColumn("doc_id", TXT.doc_id(F.col("content"))).withColumn(
         "file_path", F.col("url"))
-    chunks = chunk_documents(docs)
+    # materialize chunks (as run_index's parquet stage boundary does) —
+    # chaining two python evals in one stage doubles resident python
+    # workers per task and was measurably unstable at high parallelism
+    chunks = chunk_documents(docs).localCheckpoint(eager=True)
     mentions = extract_mentions(chunks, batch_hook=make_hook(slot_matmuls)).localCheckpoint(eager=True)
     nodes_raw = build_nodes(mentions).localCheckpoint(eager=True)
     edges_raw = build_edges(mentions).localCheckpoint(eager=True)
@@ -81,12 +92,24 @@ def run_once():
     for df in (nodes, edges, emb):
         df.write.format("noop").mode("overwrite").save()
 
+def cpu_jiffies():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:]))
+    return {"user": vals[0] + vals[2], "idle": vals[3], "steal": vals[7],
+            "total": sum(vals)}
+
 run_once()  # warm-up: JIT + python workers + page cache
+j0 = cpu_jiffies()
 t0 = time.time()
 run_once()
 secs = time.time() - t0
+j1 = cpu_jiffies()
+dt = {k: j1[k] - j0[k] for k in j0}
+steal_pct = round(100.0 * dt["steal"] / max(dt["total"], 1), 1)
 print(json.dumps({"cpus": cpus, "seconds": round(secs, 2),
-                  "docs_per_sec": round(n_docs / secs, 2)}))
+                  "docs_per_sec": round(n_docs / secs, 2),
+                  "host_steal_pct": steal_pct}))
 """
 
 
@@ -111,36 +134,88 @@ def run_level(cpus: int, corpus: str, slot: int, n_docs: int) -> dict:
     env.update(
         OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1"
     )
+    # CPU containment: pin the whole process tree (JVM + python workers)
+    # to exactly `cpus` cores. Without this a local[8] JVM borrows idle
+    # cores for GC/shuffle/Arrow/python workers and the "8-way" run is
+    # not an 8-core run — pinning reproduces what an N-core executor
+    # actually provides.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}",
+           sys.executable, "-c", CHILD.replace("@REPO@", str(REPO)),
+           str(cpus), corpus, str(slot), str(n_docs)]
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.replace("@REPO@", str(REPO)),
-         str(cpus), corpus, str(slot), str(n_docs)],
-        capture_output=True, text=True, cwd=REPO, env=env,
+        cmd, capture_output=True, text=True, cwd=REPO, env=env,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
+def hardware_baseline() -> dict:
+    """Measure what THIS box delivers going 8→32 pinned cores on a pure
+    CPU-bound python workload (frequency scaling + shared caches mean a
+    single host never delivers a full 4x; a real 4N-executor cluster
+    adds whole nodes and does not pay this). The slot-regime efficiency
+    is reported raw and normalized by this ceiling."""
+    script = (
+        "import multiprocessing as mp, time, sys\n"
+        "def burn(n):\n"
+        "    x=0\n"
+        "    for i in range(n): x += i & 1023\n"
+        "    return x\n"
+        "def run(p, n=40_000_000):\n"
+        "    t0=time.time()\n"
+        "    with mp.Pool(p) as pool: pool.map(burn, [n]*p)\n"
+        "    return p*n/(time.time()-t0)/1e6\n"
+        "print(run(int(sys.argv[1])))\n"
+    )
+    rates = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", script,
+             str(cpus)],
+            capture_output=True, text=True,
+        )
+        rates[cpus] = float(out.stdout.strip().splitlines()[-1])
+    return {
+        "mops_8": round(rates[8], 1),
+        "mops_32": round(rates[32], 1),
+        "hw_scaling_8_to_32": round(rates[32] / rates[8], 3),
+        "hw_efficiency_ceiling": round(rates[32] / rates[8] / 4, 3),
+    }
+
+
 def main() -> None:
     n_docs = int(os.environ.get("SCALING_DOCS", "100000"))
-    slot = int(os.environ.get("SCALING_SLOT_MATMULS", "40"))
+    slot = int(os.environ.get("SCALING_SLOT_KOPS", "20"))  # k*20000 int-ops/chunk
     corpus = ensure_corpus(n_docs)
     print(f"corpus: {corpus}", file=sys.stderr)
 
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
     results = {}
     for regime, k in (("raw", 0), ("slot", slot)):
-        per_level = {}
-        for cpus in (8, 32):
-            r = run_level(cpus, corpus, k, n_docs)
-            per_level[cpus] = r
-            print(f"{regime} local[{cpus}]: {r}", file=sys.stderr)
-        eff = per_level[8]["seconds"] / (4 * per_level[32]["seconds"])
+        runs: dict[int, list[dict]] = {8: [], 32: []}
+        # interleave levels within each repeat so time-varying hypervisor
+        # steal (observed 0-55% on this VM) hits both levels similarly;
+        # min-of-N approximates the uncontended time at each level
+        for rep in range(repeats):
+            for cpus in (8, 32):
+                r = run_level(cpus, corpus, k, n_docs)
+                runs[cpus].append(r)
+                print(f"{regime} rep{rep} local[{cpus}]: {r}", file=sys.stderr)
+        best = {c: min(rs, key=lambda r: r["seconds"]) for c, rs in runs.items()}
+        eff = best[8]["seconds"] / (4 * best[32]["seconds"])
         results[regime] = {
-            "local8": per_level[8],
-            "local32": per_level[32],
+            "local8": best[8],
+            "local32": best[32],
+            "all_runs": runs,
             "scaling_efficiency": round(eff, 3),
         }
+    hw = hardware_baseline()
+    results["hardware_baseline"] = hw
+    results["slot_efficiency_hw_normalized"] = round(
+        results["slot"]["scaling_efficiency"] / hw["hw_efficiency_ceiling"], 3
+    )
     results["n_docs"] = n_docs
-    results["slot_matmuls_per_chunk"] = slot
+    results["slot_kops_per_chunk"] = slot
     print(json.dumps(results))
 
 
