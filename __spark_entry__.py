@@ -330,14 +330,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_minhash_signature(spark, sf):
         docs = _t(spark, sf, "documents")
-        # materialize shingles once (projection boundary) so the 8 hash
-        # functions reuse one computed array instead of re-deriving it
+        # staged projections: shingles → ONE md5 per shingle → 8 slice
+        # minima. The hex stage stays its own project (CollapseProject
+        # keeps multiply-referenced non-cheap exprs separate), so the
+        # md5 is computed once per shingle, not once per hash function.
         sh = docs.select(
             "doc_id", H.word_shingles(F.lower(F.col("text")), 3).alias("sh")
         )
-        return sh.select(
+        hx = sh.select("doc_id", H.shingle_hexes(F.col("sh"), 8).alias("hx"))
+        return hx.select(
             "doc_id",
-            F.concat_ws("|", H.minhash_signature(F.col("sh"), 8)).alias("signature"),
+            F.concat_ws("|", H.minhash_from_hexes(F.col("hx"), 8)).alias("signature"),
         )
     q["dedup_minhash_signature"] = dedup_minhash_signature
 
@@ -594,7 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def g3_components(spark, sf):
         li = _t(spark, sf, "lineitem")
-        edges = li.limit(2000).select(
+        # deterministic sparse sample (a LIMIT would be row-order
+        # dependent and not oracle-reproducible)
+        edges = li.where("l_orderkey % 97 = 0").select(
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
             F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("tgt"),
         ).distinct()
@@ -626,6 +631,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ──────────────────────────────────────────────────────────────────────
 # oracle SQL (DuckDB dialect, over pre-registered views)
 # ──────────────────────────────────────────────────────────────────────
+
+def _values_oracle(df, casts: dict[str, str]) -> str:
+    """Render a pandas frame as a DuckDB VALUES table with explicit
+    casts. Used to pin the kg_* oracles: the frame is recomputed at
+    call time by golden.py's single-threaded pandas path — an
+    independent sequential re-derivation of the same semantics — so the
+    driver's comparison checks the DISTRIBUTED execution against it."""
+
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    cols = list(df.columns)
+    rows = ",\n".join(
+        "(" + ",".join(lit(v) for v in row) + ")"
+        for row in df.itertuples(index=False)
+    )
+    sel = ", ".join(f"CAST({c} AS {casts[c]}) AS {c}" for c in cols)
+    return f"SELECT {sel} FROM (VALUES\n{rows}\n) AS t({', '.join(cols)})"
+
+
+_GOLDEN_N_DOCS = 120
+
+
+def _golden_kg_oracles() -> dict[str, str]:
+    from graphrag_kb_server_spark import golden
+
+    out = {}
+    out["kg_chunks"] = _values_oracle(
+        golden.golden_kg_chunks(_GOLDEN_N_DOCS),
+        {"chunk_id": "VARCHAR", "doc_id": "VARCHAR", "chunk_ix": "INT",
+         "n_tokens": "INT"},
+    )
+    out["kg_triples"] = _values_oracle(
+        golden.golden_kg_triples(_GOLDEN_N_DOCS),
+        {"subj": "VARCHAR", "pred": "VARCHAR", "obj": "VARCHAR"},
+    )
+    out["kg_nodes"] = _values_oracle(
+        golden.golden_kg_nodes(_GOLDEN_N_DOCS),
+        {"name": "VARCHAR", "type": "VARCHAR", "degree": "INT",
+         "mention_count": "BIGINT"},
+    )
+    out["kg_canonical_map"] = _values_oracle(
+        golden.golden_kg_canonical_map(_GOLDEN_N_DOCS),
+        {"name": "VARCHAR", "canonical_name": "VARCHAR"},
+    )
+    return out
+
 
 def _planes_sql_literal() -> list[str]:
     planes = _near_dup_planes()
@@ -777,7 +831,9 @@ SELECT doc_id, dup_group_size FROM (
 ) WHERE rk = 1
 """
 
-    # word-3-gram shingles, distinct; per hash h: min(md5('h:' || shingle))
+    # word-3-gram shingles, distinct; ONE md5 per shingle; hash h =
+    # min over shingles of the 4-hex-char slice at offset h*4 (mirrors
+    # hashing.shingle_hexes + minhash_from_hexes)
     shingle_sql = """
 list_distinct(list_transform(
   range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
@@ -785,14 +841,15 @@ list_distinct(list_transform(
 ))
 """
     mins = ", ".join(
-        f"min(md5('{h}:' || s)) AS h{h}" for h in range(8)
+        f"min(substr(h, {h * 4 + 1}, 4)) AS h{h}" for h in range(8)
     )
     concat_sig = " || '|' || ".join(f"h{h}" for h in range(8))
     o["dedup_minhash_signature"] = f"""
 WITH sh AS (
   SELECT doc_id, unnest({shingle_sql}) AS s FROM documents
 ),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+hx AS (SELECT doc_id, md5(s) AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)
 SELECT doc_id, {concat_sig} AS signature FROM sig
 """
 
@@ -1024,6 +1081,68 @@ SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
        count(*) AS n, round(sum(value), 4) AS v
 FROM events GROUP BY 1, 2
 """
+
+    o["g3_components"] = """
+WITH RECURSIVE
+e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+              'p' || CAST(l_partkey AS VARCHAR) AS b
+       FROM lineitem WHERE l_orderkey % 97 = 0),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+n AS (SELECT DISTINCT a AS node FROM e),
+cc AS (
+  SELECT node, node AS comp FROM n
+  UNION
+  SELECT e.b AS node, cc.comp FROM cc JOIN e ON cc.node = e.a
+),
+cm AS (SELECT node, min(comp) AS component FROM cc GROUP BY node)
+SELECT component, count(*) AS size FROM cm GROUP BY component
+"""
+
+    # minhash_lsh_dedup defaults: 16 hashes (2 md5s/shingle), 8 bands ×
+    # 2 rows, word-3-gram shingles, oversized band buckets split at 256.
+    # Mirrors hashing.shingle_hexes/minhash_from_hexes/lsh_bands +
+    # dedup.split_oversized_buckets + components keep-min exactly.
+    mins16 = ", ".join(
+        f"min(substr(h, {i * 4 + 1}, 4)) AS h{i}" for i in range(16)
+    )
+    band_keys = ", ".join(
+        f"'{b}' || '|' || h{2 * b} || '|' || h{2 * b + 1}" for b in range(8)
+    )
+    o["dedup_minhash_drop"] = f"""
+WITH RECURSIVE
+sh AS (SELECT DISTINCT doc_id AS id, unnest({shingle_sql}) AS s FROM documents),
+hx AS (SELECT id, md5(s) || md5('1:' || s) AS h FROM sh),
+sig AS (SELECT id, {mins16} FROM hx GROUP BY id),
+bands AS (SELECT id, unnest([{band_keys}]) AS band FROM sig),
+split AS (
+  SELECT id, band || '#' || CAST(CAST(floor(
+    (row_number() OVER (PARTITION BY band ORDER BY id) - 1) / 256
+  ) AS BIGINT) AS VARCHAR) AS band2
+  FROM bands
+),
+pairs AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM split x JOIN split y ON x.band2 = y.band2 AND x.id < y.id
+),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+n AS (SELECT DISTINCT a AS node FROM e),
+cc AS (
+  SELECT node, node AS comp FROM n
+  UNION
+  SELECT e.b AS node, cc.comp FROM cc JOIN e ON cc.node = e.a
+),
+cm AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
+keepers AS (SELECT comp, min(node) AS keeper FROM cm GROUP BY comp),
+dropped AS (
+  SELECT node FROM cm JOIN keepers USING (comp) WHERE node <> keeper
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+    # pinned VALUES oracles recomputed at call time from golden.py's
+    # independent single-threaded pandas path (seed 42, 120 docs)
+    o.update(_golden_kg_oracles())
 
     o["s_sessionize"] = """
 WITH g AS (

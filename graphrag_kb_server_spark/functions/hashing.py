@@ -2,10 +2,17 @@
 fingerprints.
 
 All built from ``md5`` (identical hex output in Spark and DuckDB, so the
-DuckDB oracle can recompute signatures exactly). MinHash uses the
-lexicographic MIN of ``md5(seed || shingle)`` per hash function — a
-string-valued minhash avoids hex→int conversion differences between
-engines while keeping the LSH property (min of a uniformly-hashed set).
+DuckDB oracle can recompute signatures exactly). MinHash hashes each
+shingle ONCE (md5, extended by extra seeded md5s only when more than 8
+hash functions are requested) and derives the per-hash-function values
+from disjoint 4-hex-char substring slices of that digest — the standard
+"one strong hash, k slices" construction. A string-valued minhash (the
+lexicographic MIN of the slice over the shingle set) avoids hex→int
+conversion differences between engines while keeping the LSH property
+(min of a uniformly-hashed set). This replaced a per-function
+``md5(seed || shingle)`` design that cost ``num_hashes`` md5 calls +
+string concats per shingle per row (8× the hashing work; it was 32% of
+the round-1 bench).
 
 Reference analogue: candidate generation for entity linking is the
 north-rule MinHash-LSH blocking step; the reference's own dedup is the
@@ -45,24 +52,66 @@ def word_shingles(col: Column, k: int = 2) -> Column:
     )
 
 
-def _seeded_md5(prefix: str):
+CHARS_PER_HASH = 4  # 16 bits per hash function; 8 functions per md5
+
+
+def n_digests(num_hashes: int) -> int:
+    """How many md5 digests per shingle ``num_hashes`` slices need."""
+    return -(-num_hashes * CHARS_PER_HASH // 32)
+
+
+def shingle_hexes(shingles: Column, num_hashes: int = 8) -> Column:
+    """Per shingle, the concatenated hex digest the minhash slices are
+    cut from: md5(shingle), extended with md5('j:' || shingle) for j ≥ 1
+    only when ``num_hashes`` > 8. ONE md5 per shingle in the common case.
+
+    Call sites MUST keep this in its own ``.select`` projection: the
+    downstream signature references the column ``num_hashes`` times, and
+    Spark's CollapseProject keeps a multiply-referenced non-cheap
+    expression in its own project (evaluated once per row) instead of
+    inlining it into every consumer.
+    """
+    k = n_digests(num_hashes)
+
+    def _hex(s: Column) -> Column:
+        parts = [F.md5(s)] + [
+            F.md5(F.concat(F.lit(f"{j}:"), s)) for j in range(1, k)
+        ]
+        return F.concat(*parts) if k > 1 else parts[0]
+
+    return F.transform(shingles, _hex)
+
+
+def _slice_at(start: int):
     """Closure factory: a ONE-parameter lambda for F.transform.
 
     (A two-parameter lambda — e.g. with a default arg — would be bound
-    by Spark as (element, index) and silently corrupt the seed.)
+    by Spark as (element, index) and silently corrupt the offset.)
     """
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    return lambda h: F.substring(h, start + 1, CHARS_PER_HASH)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+def minhash_from_hexes(hexes: Column, num_hashes: int = 8) -> Column:
     """ARRAY<STRING> of length ``num_hashes``: per hash function h,
-    min(md5(h || ':' || shingle)) over the shingle set."""
+    min over the shingle set of hex-digest slice h (4 hex chars each,
+    disjoint offsets). Cheap substring/min work only — the md5s were
+    paid once in ``shingle_hexes``."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, _seeded_md5(f"{h}:")))
+            F.array_min(F.transform(hexes, _slice_at(h * CHARS_PER_HASH)))
             for h in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """Convenience composition of shingle_hexes + minhash_from_hexes.
+
+    Prefer staging the two behind a projection boundary at call sites
+    (see shingle_hexes docstring); this single-expression form relies on
+    Catalyst subexpression elimination to avoid re-hashing per slice.
+    """
+    return minhash_from_hexes(shingle_hexes(shingles, num_hashes), num_hashes)
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:

@@ -56,26 +56,65 @@ def minhash_lsh_pairs(
     MinHash LSH. Pair formation is band-bucket-local (equi-join on the
     band key), never all-pairs."""
     rows_per_band = num_hashes // bands
-    # staged projections: shingles → signature → bands, so each level is
-    # computed once per row instead of re-derived inside every hash fn
+    # staged projections: shingles → per-shingle hex digests → signature
+    # → bands. The hex stage pays ONE md5 per shingle; the signature
+    # references it num_hashes times, so CollapseProject keeps it in its
+    # own project (evaluated once per row) instead of inlining the md5
+    # into every slice.
     sh = df.select(
         F.col(id_col).alias("id"),
         H.word_shingles(F.lower(F.col(content_col)), shingle_words).alias("_sh"),
     )
-    sig = sh.select(
-        "id", H.minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    hx = sh.select("id", H.shingle_hexes(F.col("_sh"), num_hashes).alias("_hx"))
+    sig = hx.select(
+        "id", H.minhash_from_hexes(F.col("_hx"), num_hashes).alias("_sig")
     ).select(
         "id", H.lsh_bands(F.col("_sig"), bands, rows_per_band).alias("bands")
     )
     b = sig.select("id", F.explode("bands").alias("band"))
-    counts = b.groupBy("band").agg(F.count(F.lit(1)).alias("_n"))
-    b = b.join(counts.where(F.col("_n") <= max_bucket).select("band"), "band")
+    b = split_oversized_buckets(b, "band", "id", max_bucket)
     return (
         b.alias("x")
         .join(b.alias("y"), "band")
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+    )
+
+
+def split_oversized_buckets(
+    bucketed: DataFrame, bucket_col: str, id_col: str, max_bucket: int
+) -> DataFrame:
+    """LSH skew guard: re-key any bucket with more than ``max_bucket``
+    members into contiguous sub-buckets of ≤ ``max_bucket`` (deterministic
+    row_number-by-id split). Pairs are then formed within sub-buckets —
+    a degenerate bucket (stopword shingles, all-zero simhash blocks) is
+    SPLIT, never silently dropped: cost stays O(buckets · max_bucket²)
+    while every member keeps a chance to pair. Cross-sub-bucket pairs in
+    a mega-bucket are the (documented) recall trade for bounded cost;
+    at 100 TB a mega-bucket is by construction low-signal (its key
+    carries no discriminative information). One shuffle (the window) —
+    cheaper than the old count-groupBy + join-back, which shuffled the
+    bucketed rows twice and then DROPPED the oversized buckets. Use
+    ``oversized_bucket_stats`` to surface how many buckets were split."""
+    w = Window.partitionBy(bucket_col).orderBy(id_col)
+    sub = F.floor((F.row_number().over(w) - 1) / max_bucket)
+    return bucketed.withColumn(
+        bucket_col, F.concat_ws("#", F.col(bucket_col), sub.cast("string"))
+    )
+
+
+def oversized_bucket_stats(
+    bucketed: DataFrame, bucket_col: str, max_bucket: int
+) -> DataFrame:
+    """(n_buckets, n_oversized, max_size) for LSH bucket metrics rows —
+    lazily composable; callers collect it into their metrics sidecar."""
+    return bucketed.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("_n") > max_bucket).cast("int")).alias("n_oversized"),
+        F.max("_n").alias("max_size"),
     )
 
 
@@ -108,15 +147,47 @@ def simhash_dedup_pairs(
     id_col: str,
     prefix_nibbles: int = 4,
     max_hamming_nibbles: int = 2,
+    rotations: int = 4,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash over word tokens; block on
-    the hash prefix; verify by nibble-level hamming distance ≤ k.
-    (Prefix blocking is the single-table variant of the standard
-    multi-permutation simhash index.)"""
+    the hash prefix under ``rotations`` nibble-rotations of the hash
+    (the standard multi-permutation simhash index: a near-dup pair that
+    differs inside one rotation's prefix agrees on another rotation's
+    prefix whenever its differing nibbles don't span every rotation
+    window); verify by nibble-level hamming distance ≤ k; union + dedup
+    pairs across rotations. With rotations=1 this degrades to the
+    single-prefix block that misses near-dups differing in the leading
+    nibbles. Each rotation's block key is tagged with the rotation index
+    so buckets never mix across rotations; oversized blocks are split,
+    not dropped (split_oversized_buckets)."""
     tokens = F.split(F.lower(F.trim(F.col(content_col))), r"\s+")
     sh = df.select(F.col(id_col).alias("id"), H.simhash64(tokens).alias("sim"))
-    sh = sh.withColumn("block", F.substring("sim", 1, prefix_nibbles))
-    x, y = sh.alias("x"), sh.alias("y")
+    step = max(16 // max(rotations, 1), 1)
+    rotated = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{r}|"),
+                        F.substring(
+                            F.concat(
+                                F.substring("sim", r * step + 1, 16 - r * step),
+                                F.substring("sim", 1, r * step),
+                            ),
+                            1,
+                            prefix_nibbles,
+                        ),
+                    )
+                    for r in range(max(rotations, 1))
+                ]
+            )
+        ).alias("block"),
+    )
+    rotated = split_oversized_buckets(rotated, "block", "id", max_bucket)
+    x, y = rotated.alias("x"), rotated.alias("y")
     # hamming in nibble space via 16 positional comparisons (codegen'd)
     diff = sum(
         F.when(
@@ -130,7 +201,10 @@ def simhash_dedup_pairs(
         .where(F.col("x.id") < F.col("y.id"))
         .withColumn("nibble_hamming", diff)
         .where(F.col("nibble_hamming") <= max_hamming_nibbles)
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "nibble_hamming")
+        .select(
+            F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "nibble_hamming"
+        )
+        .distinct()
     )
 
 
@@ -172,16 +246,39 @@ def embedding_near_dup_pairs(
     content_col: str | None = None,
     vec_col: str | None = None,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
+    max_bucket: int = 4096,
+    target_bucket_rows: int = 8192,
 ) -> DataFrame:
     """Embedding-cosine near-dup with random-hyperplane (SimHash-for-
     vectors) bucket blocking: sign pattern of ``n_planes`` seeded
     hyperplanes = bucket key; cosine verified within bucket only.
 
+    Scale guards (a fixed plane count is a quadratic bomb at 10^12
+    rows — each of 2^n_planes buckets then holds ~rows/2^n_planes
+    members and the within-bucket self-join explodes):
+
+    - ``n_planes=None`` sizes the plane count from the corpus:
+      ceil(log2(rows / target_bucket_rows)), clamped to [4, 28], so the
+      EXPECTED bucket stays ~target_bucket_rows at any corpus size.
+    - ``max_bucket`` splits any still-degenerate bucket (near-duplicate
+      pile-ups are exactly where buckets concentrate) into bounded
+      sub-buckets instead of silently dropping it
+      (``split_oversized_buckets``).
+
+    Recall trade: more planes → smaller buckets but more true pairs
+    split across buckets (P[same bucket] = (1 − θ/π)^n_planes). The
+    standard production mitigation is multi-probe (also bucket keys at
+    hamming distance 1 in the sign pattern) or repeating the blocking
+    with ``r`` independent seeds and unioning pairs — both compose with
+    this operator by unioning its output across seeds.
+
     Matches the reference's greedy cosine-dedup semantics
     (matching.py:100-128) with keep-earlier-wins applied by the caller.
     """
+    import math
+
     import numpy as np
 
     if vec_col is None:
@@ -189,6 +286,9 @@ def embedding_near_dup_pairs(
         vec_col = "_vec"
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
+    if n_planes is None:
+        n_rows = df.count()
+        n_planes = min(28, max(4, math.ceil(math.log2(max(n_rows, 1) / target_bucket_rows))))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     vec_d = V.to_double(F.col(vec_col))
@@ -214,6 +314,7 @@ def embedding_near_dup_pairs(
     keyed = df.select(
         F.col(id_col).alias("id"), vec_d.alias("v"), bucket.alias("bucket")
     )
+    keyed = split_oversized_buckets(keyed, "bucket", "id", max_bucket)
     x, y = keyed.alias("x"), keyed.alias("y")
     return (
         x.join(y, F.col("x.bucket") == F.col("y.bucket"))

@@ -24,10 +24,12 @@ Pipeline:
    list, run connected components (G3), canonical name = min member;
    rewrite nodes and edges onto canonical ids and re-merge.
 
-Skew note: bucket sizes are capped (``max_bucket``) — a degenerate
-band bucket (stopword-ish names) would otherwise create a quadratic
-pair explosion; capping is the standard LSH guardrail and is recorded
-in the metrics.
+Skew note: a degenerate band bucket (stopword-ish names) would create
+a quadratic pair explosion; any bucket over ``max_bucket`` is SPLIT
+into bounded deterministic sub-buckets (operators.dedup.
+split_oversized_buckets) — never silently dropped — and callers can
+surface how many buckets were split via ``candidate_bucket_stats``
+(the index pipeline records it in its metrics sidecar).
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ from ..functions import text as TXT
 from ..functions import vectors as V
 from ..functions.embedding import embed_udf
 from .components import connected_components
+from .dedup import oversized_bucket_stats, split_oversized_buckets
 
 DEFAULT_THRESHOLD = 0.80
 DEFAULT_NUM_HASHES = 8
@@ -56,22 +59,23 @@ def candidate_pairs(
 ) -> DataFrame:
     """names → (name_a, name_b) candidate pairs, name_a < name_b."""
     rows_per_band = num_hashes // bands
-    # staged projections (shingles → signature → bands): one computation
-    # per level per row, not one per hash function
+    # staged projections (shingles → hex digests → signature → bands):
+    # the hex stage pays ONE md5 per shingle and CollapseProject keeps
+    # it as its own project because the signature references it
+    # num_hashes times
     sig = (
         names.select(
             F.col(name_col).alias("name"),
             H.char_shingles(F.lower(F.col(name_col))).alias("_sh"),
         )
-        .select("name", H.minhash_signature(F.col("_sh"), num_hashes).alias("_sig"))
+        .select("name", H.shingle_hexes(F.col("_sh"), num_hashes).alias("_hx"))
+        .select("name", H.minhash_from_hexes(F.col("_hx"), num_hashes).alias("_sig"))
         .select("name", H.lsh_bands(F.col("_sig"), bands, rows_per_band).alias("bands"))
     )
     bucketed = sig.select("name", F.explode("bands").alias("band"))
-    # cap pathological buckets before the self-join (LSH guardrail)
-    counts = bucketed.groupBy("band").agg(F.count(F.lit(1)).alias("_n"))
-    bucketed = bucketed.join(
-        counts.where(F.col("_n") <= max_bucket).select("band"), "band"
-    )
+    # split pathological buckets before the self-join (LSH guardrail —
+    # bounded cost, nothing silently dropped)
+    bucketed = split_oversized_buckets(bucketed, "band", "name", max_bucket)
     a = bucketed.select(F.col("band"), F.col("name").alias("name_a"))
     b = bucketed.select(F.col("band"), F.col("name").alias("name_b"))
     return (
@@ -80,6 +84,32 @@ def candidate_pairs(
         .select("name_a", "name_b")
         .distinct()
     )
+
+
+def candidate_bucket_stats(
+    names: DataFrame,
+    name_col: str = "name",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """One-row (n_buckets, n_oversized, max_size) for the LSH blocking
+    metrics sidecar — how many band buckets exceeded ``max_bucket`` and
+    were therefore split. A non-zero n_oversized at production scale is
+    the signal to add bands/hashes (smaller collision probability) or
+    raise max_bucket."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        names.select(
+            F.col(name_col).alias("name"),
+            H.char_shingles(F.lower(F.col(name_col))).alias("_sh"),
+        )
+        .select("name", H.shingle_hexes(F.col("_sh"), num_hashes).alias("_hx"))
+        .select("name", H.minhash_from_hexes(F.col("_hx"), num_hashes).alias("_sig"))
+        .select("name", H.lsh_bands(F.col("_sig"), bands, rows_per_band).alias("bands"))
+    )
+    bucketed = sig.select("name", F.explode("bands").alias("band"))
+    return oversized_bucket_stats(bucketed, "band", max_bucket)
 
 
 def score_pairs(

@@ -9,15 +9,21 @@ question synthesis → hybrid kg_query → relevance sort.
 LLM slots (P2 scoring, P7 summaries, P9 topic rewrite, P10 question
 generation) are deterministic stand-ins with the reference contracts;
 swap a model client into the *_fn parameter.
+
+No per-row Python anywhere: the deterministic stand-ins are pure
+Catalyst expressions (codegen'd, JVM-side); a caller-supplied *_fn
+(the real LLM slot) runs through an Arrow-batched ``pandas_udf`` —
+never a row-at-a-time ``F.udf``.
 """
 
 from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, Window
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.text import initials
 
@@ -51,6 +57,27 @@ def _score_stub(entity: str, profile: str) -> tuple[float, str]:
             "high" if len(ew) == 1 else "low")
 
 
+def _score_columns(name: Column, profile: str) -> tuple[Column, Column]:
+    """Pure-Catalyst twin of ``_score_stub`` (codegen'd — no Python in
+    the hot path): word sets via split + array_distinct, overlap via
+    array_intersect, epsilon from the md5 prefix."""
+    ew = F.array_distinct(F.split(F.trim(F.lower(name)), r"\s+"))
+    pw = F.array(*[F.lit(w) for w in sorted(set(profile.lower().split()))])
+    n_ew = F.greatest(F.size(ew), F.lit(1))
+    overlap_cnt = F.size(F.array_intersect(ew, pw))
+    overlap = overlap_cnt.cast("double") / n_ew.cast("double")
+    eps = (
+        F.conv(F.substring(F.md5(name), 1, 4), 16, 10).cast("double")
+        / F.lit(65535.0)
+        * F.lit(0.01)
+    )
+    score = F.when(
+        overlap_cnt > 0, F.least(overlap + F.lit(0.5) + eps, F.lit(1.0))
+    ).otherwise(F.lit(0.3) + eps)
+    abstraction = F.when(F.size(ew) == 1, F.lit("high")).otherwise(F.lit("low"))
+    return score, abstraction
+
+
 def match_and_score(
     candidates: DataFrame,
     profile: str,
@@ -59,25 +86,26 @@ def match_and_score(
 ) -> DataFrame:
     """P2 — score candidates against the user profile; keep score >
     threshold (matching.py:137-179, default threshold 0.5 at :35);
-    dedup by entity name."""
-    fn = score_fn or _score_stub
+    dedup by entity name. Default scoring is a pure Catalyst expression;
+    a caller-supplied ``score_fn`` (the LLM slot) runs Arrow-batched."""
+    if score_fn is None:
+        score, abstraction = _score_columns(F.col("entity_id"), profile)
+        scored = candidates.withColumn("score", score).withColumn(
+            "abstraction", abstraction
+        )
+    else:
+        @pandas_udf("score double, abstraction string")
+        def score_udf(names: pd.Series) -> pd.DataFrame:
+            rows = [score_fn(n, profile) for n in names]
+            return pd.DataFrame(rows, columns=["score", "abstraction"])
 
-    @F.udf(T.StructType([
-        T.StructField("score", T.DoubleType()),
-        T.StructField("abstraction", T.StringType()),
-    ]))
-    def score_udf(name):
-        s, a = fn(name, profile)
-        return (float(s), a)
-
-    return (
-        candidates.withColumn("_m", score_udf(F.col("entity_id")))
-        .select("*", F.col("_m.score").alias("score"),
-                F.col("_m.abstraction").alias("abstraction"))
-        .drop("_m")
-        .where(F.col("score") > threshold)
-        .dropDuplicates(["entity_id"])
-    )
+        scored = (
+            candidates.withColumn("_m", score_udf(F.col("entity_id")))
+            .select("*", F.col("_m.score").alias("score"),
+                    F.col("_m.abstraction").alias("abstraction"))
+            .drop("_m")
+        )
+    return scored.where(F.col("score") > threshold).dropDuplicates(["entity_id"])
 
 
 def remove_abbreviations(entities: DataFrame, name_col: str = "entity_id") -> DataFrame:
@@ -126,15 +154,19 @@ def summarize_documents(
     docs: DataFrame, profile: str, question: str, summarize_fn=None
 ) -> DataFrame:
     """P7 — per-doc summary LLM slot (search_documents.py:94-135);
-    deterministic stand-in: first 2 sentences + provenance digest."""
+    deterministic stand-in (pure Catalyst): first 2 sentences + question
+    digest. A caller-supplied ``summarize_fn`` runs Arrow-batched."""
+    if summarize_fn is None:
+        head = F.concat_ws(
+            ". ", F.slice(F.split(F.col("content"), r"\. "), 1, 2)
+        )
+        summary = F.concat(head, F.lit(f" [re: {question[:40]}]"))
+        return docs.withColumn("summary", summary)
 
-    def default_fn(content: str) -> str:
-        sents = content.split(". ")
-        head = ". ".join(sents[:2])
-        return f"{head} [re: {question[:40]}]"
+    @pandas_udf("string")
+    def summarize(contents: pd.Series) -> pd.Series:
+        return contents.map(summarize_fn)
 
-    fn = summarize_fn or default_fn
-    summarize = F.udf(fn, T.StringType())
     return docs.withColumn("summary", summarize(F.col("content")))
 
 
@@ -166,19 +198,27 @@ def generate_questions(
     topics: DataFrame, n_per_topic: int = 3, question_fn=None
 ) -> DataFrame:
     """P10 — per-topic question generation (LLM slot;
-    question_generation_service.py:24-83). Deterministic stand-in:
-    templated questions."""
+    question_generation_service.py:24-83). Deterministic stand-in
+    (pure Catalyst): templated questions. A caller-supplied
+    ``question_fn`` runs Arrow-batched."""
     if question_fn is None:
         templates = [
-            "What is {}?",
-            "How does {} relate to other entities?",
-            "Why is {} significant?",
+            ("What is ", "?"),
+            ("How does ", " relate to other entities?"),
+            ("Why is ", " significant?"),
         ]
+        qs = F.array(
+            *[
+                F.concat(F.lit(pre), F.col("name"), F.lit(post))
+                for pre, post in templates[:n_per_topic]
+            ]
+        )
+        return topics.withColumn("questions", qs)
 
-        def question_fn(name: str) -> list[str]:
-            return [t.format(name) for t in templates[:n_per_topic]]
+    @pandas_udf("array<string>")
+    def qudf(names: pd.Series) -> pd.Series:
+        return names.map(question_fn)
 
-    qudf = F.udf(question_fn, T.ArrayType(T.StringType()))
     return topics.withColumn("questions", qudf(F.col("name")))
 
 

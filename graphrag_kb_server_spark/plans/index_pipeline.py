@@ -26,7 +26,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -34,7 +34,11 @@ from ..functions.embedding import embed_udf
 from ..operators.chunking import chunk_documents
 from ..operators.extraction import extract_mentions
 from ..operators.graph_build import build_edges, build_nodes, finalize_graph
-from ..operators.linking import canonical_map, canonicalize_graph
+from ..operators.linking import (
+    candidate_bucket_stats,
+    canonical_map,
+    canonicalize_graph,
+)
 
 STAGES = [
     "documents",
@@ -95,6 +99,7 @@ def run_index(
     resume: bool = True,
     link_entities: bool = True,
     lang_filter: str | None = None,
+    run_ts: str | None = None,
 ) -> IndexResult:
     """Run (or resume) the full indexing pipeline.
 
@@ -105,26 +110,47 @@ def run_index(
     """
     res = IndexResult(out_dir=out_dir)
 
+    def _write_observed(name: str, df: DataFrame, partition_by) -> None:
+        """Write one stage output with a write-side row count: the
+        Observation aggregates rows DURING the write action — no extra
+        scan of the output (a per-stage ``count()`` re-read would double
+        the pipeline's read volume at 100 TB)."""
+        t0 = time.time()
+        obs = Observation(f"stage:{name}")
+        _write(df.observe(obs, F.count(F.lit(1)).alias("rows")), f"{out_dir}/{name}", partition_by)
+        res.metrics.append(
+            {
+                "stage": name,
+                "skipped": False,
+                "rows": obs.get["rows"],
+                "partitions": df.rdd.getNumPartitions(),
+                "seconds": round(time.time() - t0, 3),
+            }
+        )
+
     def stage(name: str, build, partition_by: list[str] | None = None) -> DataFrame:
         path = f"{out_dir}/{name}"
         if resume and _exists(path):
             res.metrics.append({"stage": name, "skipped": True})
             return spark.read.parquet(path)
-        t0 = time.time()
-        df = build()
-        _write(df, path, partition_by)
-        out = spark.read.parquet(path)
-        n = out.count()
-        res.metrics.append(
-            {
-                "stage": name,
-                "skipped": False,
-                "rows": n,
-                "partitions": out.rdd.getNumPartitions(),
-                "seconds": round(time.time() - t0, 3),
-            }
-        )
-        return out
+        _write_observed(name, build(), partition_by)
+        return spark.read.parquet(path)
+
+    def stage_pair(
+        name_a: str, name_b: str, build
+    ) -> tuple[DataFrame, DataFrame]:
+        """Two outputs of ONE shared computation (e.g. canonicalized
+        nodes+edges): build once, write both — never build per output
+        and discard half."""
+        path_a, path_b = f"{out_dir}/{name_a}", f"{out_dir}/{name_b}"
+        if not (resume and _exists(path_a) and _exists(path_b)):
+            df_a, df_b = build()
+            _write_observed(name_a, df_a, None)
+            _write_observed(name_b, df_b, None)
+        else:
+            res.metrics.append({"stage": name_a, "skipped": True})
+            res.metrics.append({"stage": name_b, "skipped": True})
+        return spark.read.parquet(path_a), spark.read.parquet(path_b)
 
     # ── extract text (S2/T1): the byte-identical invariant ──────────
     def build_documents() -> DataFrame:
@@ -158,23 +184,32 @@ def run_index(
 
     # ── entity linking + canonicalization (LSH → cosine → components) ─
     if link_entities:
-        mapping = stage("canonical_map", lambda: canonical_map(nodes_raw))
+        def build_mapping() -> DataFrame:
+            # LSH blocking health: how many band buckets were split
+            # (bounded sub-buckets, nothing dropped) — recorded in the
+            # metrics sidecar alongside the stage row (a small agg over
+            # distinct entity names, only when the stage actually runs)
+            stats = candidate_bucket_stats(
+                nodes_raw.select(F.col("name")).distinct()
+            ).first()
+            res.metrics.append(
+                {"stage": "canonical_map:lsh_buckets", **stats.asDict()}
+            )
+            return canonical_map(nodes_raw)
 
-        def build_canonical() -> tuple[DataFrame, DataFrame]:
-            return canonicalize_graph(nodes_raw, edges_raw, mapping)
-
-        # nodes/edges share one canonicalization; build lazily per stage
-        nodes_c = stage("nodes_pre", lambda: build_canonical()[0])
-        edges_c = stage("edges_pre", lambda: build_canonical()[1])
+        mapping = stage("canonical_map", build_mapping)
+        nodes_c, edges_c = stage_pair(
+            "nodes_pre",
+            "edges_pre",
+            lambda: canonicalize_graph(nodes_raw, edges_raw, mapping),
+        )
     else:
         nodes_c, edges_c = nodes_raw, edges_raw
 
-    # ── T7 degrees ───────────────────────────────────────────────────
-    def build_final():
-        return finalize_graph(nodes_c, edges_c)
-
-    nodes = stage("nodes", lambda: build_final()[0])
-    edges = stage("edges", lambda: build_final()[1])
+    # ── T7 degrees (one shared degree computation for both outputs) ──
+    nodes, edges = stage_pair(
+        "nodes", "edges", lambda: finalize_graph(nodes_c, edges_c)
+    )
 
     # ── T6 embeddings (LLM slot, pandas UDF; content formats mirror
     #     vdb_* observed shapes: entity = name\ndescription) ──────────
@@ -212,6 +247,12 @@ def run_index(
     # ── T8 doc_status lineage ────────────────────────────────────────
     def build_doc_status() -> DataFrame:
         per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("chunks_count"))
+        # updated_at derives from the doc's own warc_ts (or the caller's
+        # run_ts) — NOT current_timestamp(), which would break the
+        # kill-and-rerun-produces-identical-outputs invariant
+        updated = (
+            F.lit(run_ts).cast("timestamp") if run_ts else F.col("warc_ts")
+        )
         return (
             documents.join(per_doc, "doc_id", "left")
             .select(
@@ -221,7 +262,7 @@ def run_index(
                 F.length("content").alias("content_length"),
                 F.substring("content", 1, 120).alias("content_summary"),
                 F.lit("processed").alias("status"),
-                F.current_timestamp().alias("updated_at"),
+                updated.alias("updated_at"),
             )
         )
 
