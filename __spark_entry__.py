@@ -144,6 +144,12 @@ def _tiny_graph_tables(spark: SparkSession, n_docs: int = 120) -> GraphTables:
         chunk_embeddings=chunks.select(
             "chunk_id", embed_udf(F.col("content")).alias("embedding")
         ).dropDuplicates(["chunk_id"]).localCheckpoint(eager=True),
+        # P12: warc_ts is the authoritative last-modified for webtext —
+        # joined into the query reference list (Q15)
+        path_properties=pages.select(
+            F.col("url").alias("file_path"),
+            F.col("warc_ts").alias("last_modified"),
+        ).dropDuplicates(["file_path"]),
     )
     g.entity_embeddings = g.entity_embeddings.localCheckpoint(eager=True)
     g.relation_embeddings = g.relation_embeddings.localCheckpoint(eager=True)
@@ -319,6 +325,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "qid", "id", F.round("score", 4).alias("score"), "rank"
         )
     q["ann_batch_topk"] = ann_batch_topk
+
+    def ann_ivf_topk(spark, sf):
+        from graphrag_kb_server_spark.operators.similarity import ivf_topk_batch
+
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where("vec_id < 5").select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        return ivf_topk_batch(
+            emb, queries_df, 10, "vec_id", "qid",
+            n_planes=_NEAR_DUP_PLANES, seed=_NEAR_DUP_SEED,
+        ).select("qid", "id", F.round("score", 4).alias("score"), "rank")
+    q["ann_ivf_topk"] = ann_ivf_topk
 
     # ---- dedup family ----
     def dedup_exact(spark, sf):
@@ -590,8 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             QueryParams(mode="hybrid", top_k=10),
         )
         return spark.createDataFrame(
-            [(e["name"], e["type"], e["degree"]) for e in ctx.entities],
-            "name string, type string, degree int",
+            [(e["entity"], e["type"]) for e in ctx.entities],
+            "entity string, type string",
         )
     q["kg_query_context"] = kg_query_context
 
@@ -607,8 +626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["g3_components"] = g3_components
 
     def g2_lpa_communities(spark, sf):
-        m = _mentions_from_lineitem(spark, sf)
-        edges = build_edges(m).limit(5000)
+        # deterministic sparse sample (a LIMIT would be row-order
+        # dependent: round-1 runs recorded 199 vs 200 output rows)
+        m = _mentions_from_lineitem(spark, sf).where(
+            F.col("chunk_id").substr(-1, 1).isin("0", "5")
+        )
+        edges = build_edges(m)
         labels = label_propagation(edges)
         return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
     q["g2_lpa_communities"] = g2_lpa_communities
@@ -813,6 +836,29 @@ scored AS (
   SELECT q.qid, e.vec_id AS id,
          list_cosine_similarity(e.embedding::DOUBLE[], q.qe) AS s
   FROM embeddings e, q
+),
+ranked AS (
+  SELECT qid, id, s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, id, round(s, 4) AS score, rank FROM ranked WHERE rank <= 10
+"""
+
+    ivf_planes = _planes_sql_literal()
+    ivf_cell = " || ".join(
+        f"(CASE WHEN list_inner_product(embedding::DOUBLE[], {p}) >= 0 THEN '1' ELSE '0' END)"
+        for p in ivf_planes
+    )
+    o["ann_ivf_topk"] = f"""
+WITH t AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v, {ivf_cell} AS cell
+  FROM embeddings
+),
+q AS (SELECT id AS qid, v AS qv, cell FROM t WHERE id < 5),
+scored AS (
+  SELECT q.qid, t.id, list_cosine_similarity(t.v, q.qv) AS s
+  FROM t JOIN q ON t.cell = q.cell
 ),
 ranked AS (
   SELECT qid, id, s,
@@ -1138,6 +1184,172 @@ dropped AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+    # simhash64 mirrored exactly (functions/hashing.py:simhash64 +
+    # operators/dedup.py:simhash_dedup_pairs with prefix_nibbles=2,
+    # max_hamming_nibbles=6, rotations=4): per token md5 → 16 hex
+    # nibbles; per (nibble, bit) a ±1 vote summed over the token
+    # multiset; bit = votes > 0. Blocks = rotated 2-nibble prefixes
+    # tagged by rotation; verify nibble-hamming ≤ 6. (The oversize
+    # split is a no-op at sf0.01 — max block 500 < 4096 — and the
+    # Spark side's uniform '#0' suffix doesn't change pair formation.)
+    hexd = "0123456789abcdef"
+    nib_cols = ", ".join(
+        f"strpos('{hexd}', substr(hx, {pos + 1}, 1)) - 1 AS n{pos}"
+        for pos in range(16)
+    )
+    vote_cols = ", ".join(
+        f"SUM(CASE WHEN (n{pos} & {1 << (3 - bit)}) > 0 THEN 1 ELSE -1 END)"
+        f" AS v{pos}_{bit}"
+        for pos in range(16)
+        for bit in range(4)
+    )
+    nibble_chars = " || ".join(
+        f"substr('{hexd}', ("
+        + " + ".join(
+            f"(CASE WHEN v{pos}_{bit} > 0 THEN {1 << (3 - bit)} ELSE 0 END)"
+            for bit in range(4)
+        )
+        + ") + 1, 1)"
+        for pos in range(16)
+    )
+    step = 16 // 4
+    rot_blocks = ", ".join(
+        f"'{r}|' || substr(substr(sim, {r * step + 1}, {16 - r * step})"
+        f" || substr(sim, 1, {r * step}), 1, 2)"
+        for r in range(4)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN substr(x.sim, {i + 1}, 1) <> substr(y.sim, {i + 1}, 1)"
+        " THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    o["dedup_simhash_pairs"] = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+h AS (SELECT doc_id, substr(md5(t), 1, 16) AS hx FROM tok),
+nib AS (SELECT doc_id, {nib_cols} FROM h),
+votes AS (SELECT doc_id, {vote_cols} FROM nib GROUP BY doc_id),
+sims AS (SELECT doc_id, {nibble_chars} AS sim FROM votes),
+blocks AS (SELECT doc_id, sim, unnest([{rot_blocks}]) AS block FROM sims),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         {ham} AS nibble_hamming
+  FROM blocks x JOIN blocks y ON x.block = y.block AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, nibble_hamming FROM pairs WHERE nibble_hamming <= 6
+"""
+
+    # g2 synchronous weighted LPA mirrored exactly: 10 unrolled
+    # iterations (the Spark side runs ≤10 with early stop at a fixpoint,
+    # and a fixpoint is stable under further iterations, so exactly-10
+    # equals converged-then-idle). All arithmetic is exact — weights are
+    # integer-valued l_quantity sums, bit-identical in any order — and
+    # ties break on (wsum DESC, label), matching
+    # operators/communities.py:label_propagation.
+    lpa_layers = []
+    prev_l = "l0"
+    for i in range(1, 11):
+        # AS MATERIALIZED: each layer is referenced twice; letting the
+        # optimizer inline it would duplicate the whole chain per level
+        # (2^10 blowup — measured 190s vs <2s materialized)
+        lpa_layers.append(
+            f"b{i} AS MATERIALIZED (\n"
+            f"  SELECT s.a AS node, l.label AS new_label,\n"
+            f"         row_number() OVER (\n"
+            f"           PARTITION BY s.a ORDER BY sum(s.w) DESC, l.label\n"
+            f"         ) AS rk\n"
+            f"  FROM sym s JOIN {prev_l} l ON l.node = s.b\n"
+            f"  GROUP BY s.a, l.label\n"
+            f"  QUALIFY rk = 1\n"
+            f"),\n"
+            f"l{i} AS MATERIALIZED (\n"
+            f"  SELECT n.node, coalesce(b.new_label, n.label) AS label\n"
+            f"  FROM {prev_l} n LEFT JOIN b{i} b ON b.node = n.node\n"
+            f")"
+        )
+        prev_l = f"l{i}"
+    o["g2_lpa_communities"] = f"""
+WITH m AS ({_MENTIONS_SQL}),
+mf AS (SELECT * FROM m WHERE substr(chunk_id, length(chunk_id), 1) IN ('0', '5')),
+ew AS (
+  SELECT least(subj, obj) AS src, greatest(subj, obj) AS tgt,
+         sum(weight) AS w
+  FROM mf GROUP BY 1, 2
+),
+sym AS (
+  SELECT src AS a, tgt AS b, w FROM ew
+  UNION ALL SELECT tgt, src, w FROM ew
+),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+{",".join(lpa_layers)}
+SELECT label, count(*) AS size FROM l10 GROUP BY label
+"""
+
+    # g4 random walk with restart, mirrored exactly: the walk's
+    # "randomness" is md5(seed:walk_id:step) reduced mod degree over the
+    # SORTED neighbor list (operators/walks.py:36-96) — pure integer/
+    # string determinism, so 5 steps × 50 walks unroll into SQL. The
+    # 12-hex-char hash folds to a BIGINT via positional base-16 sums.
+    hexd16 = "0123456789abcdef"
+
+    def _fold_hex(col: str) -> str:
+        return " + ".join(
+            f"(strpos('{hexd16}', substr({col}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+            for i in range(12)
+        )
+
+    walk_steps = []
+    prev = "w0"
+    for step in range(5):
+        walk_steps.append(
+            f"m{step} AS (\n"
+            f"  SELECT p.walk_id, p.node,\n"
+            f"         md5('42:' || CAST(p.walk_id AS VARCHAR) || ':{step}') AS hh\n"
+            f"  FROM {prev} p\n"
+            f"),\n"
+            f"h{step} AS (SELECT walk_id, node, {_fold_hex('hh')} AS h FROM m{step}),\n"
+            f"s{step} AS (\n"
+            f"  SELECT x.walk_id,\n"
+            f"         CASE WHEN x.h % 100 < 15 THEN (SELECT s FROM src_node)\n"
+            f"              ELSE adj.neighbors[CAST(x.h % adj.degree AS BIGINT) + 1]\n"
+            f"         END AS node\n"
+            f"  FROM h{step} x JOIN adj ON adj.node = x.node\n"
+            f")"
+        )
+        prev = f"s{step}"
+    visits_union = " UNION ALL ".join(
+        f"SELECT node FROM s{s}" for s in range(5)
+    )
+    o["g4_random_walk"] = f"""
+WITH m AS ({_MENTIONS_SQL}),
+ew AS (
+  SELECT least(subj, obj) AS src, greatest(subj, obj) AS tgt,
+         sum(weight) AS weight
+  FROM m GROUP BY 1, 2
+),
+src_node AS (SELECT src AS s FROM ew ORDER BY weight DESC, src LIMIT 1),
+sym AS (
+  SELECT DISTINCT src AS a, tgt AS b FROM ew
+  UNION SELECT tgt, src FROM ew
+),
+adj AS (
+  SELECT a AS node, list(b ORDER BY b) AS neighbors, count(*) AS degree
+  FROM sym GROUP BY a
+),
+w0 AS (
+  SELECT CAST(range AS BIGINT) AS walk_id, (SELECT s FROM src_node) AS node
+  FROM range(50)
+),
+{",".join(walk_steps)},
+visits AS ({visits_union})
+SELECT node AS name,
+       CAST(count(*) AS DOUBLE) / 250.0 AS score
+FROM visits WHERE node <> (SELECT s FROM src_node)
+GROUP BY node ORDER BY score DESC, name LIMIT 10
 """
 
     # pinned VALUES oracles recomputed at call time from golden.py's

@@ -78,15 +78,28 @@ def hierarchical_communities(
     max_cluster_size: int = 10,
     max_levels: int = 4,
     lpa_iterations: int = 10,
+    use_lcc: bool = True,
 ) -> DataFrame:
     """→ (node, level INT, cluster STRING, parent_cluster STRING|NULL).
 
-    Level 0 = LPA over the whole graph; oversize clusters are split
-    recursively (subgraph LPA with min-label components as fallback when
-    LPA cannot split — then a deterministic hash-partition guarantees
-    progress, mirroring graspologic's forced splitting of indivisible
-    oversize clusters).
+    ``use_lcc=True`` (the reference's behavior): clustering runs over
+    the LARGEST CONNECTED COMPONENT only — the reference extracts the
+    LCC with stabilized ordering before hierarchical_leiden
+    (lightrag_clustering.py:236-247); nodes outside the LCC get no
+    community assignment.
+
+    Level 0 = LPA over the (LCC-gated) graph; oversize clusters are
+    split recursively (subgraph LPA with min-label components as
+    fallback when LPA cannot split — then a deterministic
+    hash-partition guarantees progress, mirroring graspologic's forced
+    splitting of indivisible oversize clusters).
     """
+    if use_lcc:
+        lcc = largest_connected_component(edges).localCheckpoint(eager=True)
+        edges = (
+            edges.join(lcc.withColumnRenamed("node", "src"), "src")
+            .join(lcc.withColumnRenamed("node", "tgt"), "tgt")
+        )
     assignments: list[DataFrame] = []
     lvl0 = label_propagation(edges, max_iterations=lpa_iterations).select(
         "node", F.lit(0).alias("level"), F.col("label").alias("cluster"),

@@ -6,11 +6,19 @@ DataFrame programs; the only Python is the (optional) embedding UDF.
 
 - exact_dedup            — hash groupBy on content (or normalized content)
 - minhash_lsh_dedup      — shingle → minhash → band → bucket self-join
-- simhash_dedup          — 64-bit simhash prefix buckets + hamming check
+- simhash_dedup          — 64-bit simhash, multi-permutation rotated
+                           prefix blocks + hamming check
 - ngram_jaccard_pairs    — token-shingle Jaccard via explode + join
+                           (optional doc-frequency hot-key cutoff)
 - embedding_near_dup     — cosine over hash-embeddings with LSH-style
                            bucket blocking (the scale path for
                            matching.py:100-128's dense similarity matrix)
+
+Skew guard shared by every blocking strategy:
+``split_oversized_buckets`` re-keys any bucket over its cap into
+bounded deterministic sub-buckets — a degenerate bucket is split,
+never silently dropped — and ``oversized_bucket_stats`` surfaces the
+split counts for the metrics sidecar.
 
 Keep-rule: the kept row per duplicate group is the explicit min of a
 deterministic ordering column — never implicit row order.
@@ -214,19 +222,34 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_words: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-shingle sets, computed distributively:
     explode shingles → self-join on shingle (inverted index) → count
     intersections → |A∩B| / (|A|+|B|−|A∩B|). The shingle join IS the
-    blocking: pairs sharing no shingle never meet."""
+    blocking: pairs sharing no shingle never meet.
+
+    ``max_doc_freq`` is the 100 TB hot-key guard: a shingle appearing in
+    more than this many documents (a stopword phrase) is a quadratic hot
+    key in the self-join and is excluded from the JOIN side while still
+    counting toward |A| and |B| — so reported Jaccard is a LOWER BOUND
+    for pairs whose only shared shingles were ultra-common (they connect
+    only via rarer shingles, which is what near-duplicate detection
+    wants). Default None = exact semantics at every key."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(H.word_shingles(F.lower(F.col(content_col)), shingle_words)).alias("s"),
     ).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    join_side = sh
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+        join_side = sh.join(
+            dfreq.where(F.col("_df") <= max_doc_freq).select("s"), "s"
+        )
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "s")
+        join_side.alias("x")
+        .join(join_side.alias("y"), "s")
         .where(F.col("x.id") < F.col("y.id"))
         .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))

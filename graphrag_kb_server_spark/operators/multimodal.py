@@ -7,11 +7,17 @@ service/index_support.py:76-93). In the Spark engine, media are opaque
 ``BINARY`` columns with typed metadata; decode / feature-extract /
 frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
-The decode bodies are STUBS (codec libraries are not in this container):
-``deterministic_fake=True`` produces seeded, shape-correct outputs so
-the Spark-side plumbing — schema, batching, partitioning, one-to-many
-frame explosion — is real and tested; ``deterministic_fake=False``
-raises NotImplementedError at the exact line a real codec call belongs.
+Decode reality, by format:
+- **BMP (24-bit uncompressed) and WAV (PCM)** are decoded FOR REAL —
+  pure struct parsing + numpy, no codec library needed
+  (``decode_bmp`` / ``decode_wav``). Image features are actual pixel
+  statistics; audio features are actual sample statistics.
+- Compressed formats (JPEG/PNG/MP4/MP3) require codec libraries not in
+  this container: ``deterministic_fake=True`` produces seeded,
+  shape-correct outputs so the Spark-side plumbing — schema, batching,
+  partitioning, one-to-many frame explosion — is real and tested;
+  ``deterministic_fake=False`` raises NotImplementedError at the exact
+  line a real codec call belongs.
 """
 
 from __future__ import annotations
@@ -49,27 +55,160 @@ def _fake_feature(payload: bytes, dim: int = 16) -> np.ndarray:
     return (v / np.linalg.norm(v)).astype(np.float32)
 
 
-def image_features(
-    media: DataFrame, dim: int = 16, deterministic_fake: bool = True
-) -> DataFrame:
-    """Decode + feature-extract images. Real plumbing: Arrow batches of
-    binary payloads in, fixed-width float vectors out."""
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of a 24-bit uncompressed BMP (pure struct + numpy):
+    returns (width, height, H×W×3 uint8 RGB). Raises ValueError on
+    anything that isn't plain BI_RGB 24bpp."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) // 4 * 4
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=pixel_off
+    ).reshape(height, row_bytes)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        raw = raw[::-1]
+    return width, height, raw[:, :, ::-1]  # BGR → RGB
+
+
+def bmp_feature(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real image feature from decoded pixels: [mean R, mean G, mean B]
+    + 16-bin normalized grayscale histogram (19-dim float32)."""
+    width, height, px = decode_bmp(payload)
+    means = px.reshape(-1, 3).mean(axis=0) / 255.0
+    gray = px.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=16, range=(0, 255))
+    hist = hist / max(hist.sum(), 1)
+    return width, height, np.concatenate([means, hist]).astype(np.float32)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of a PCM-16 WAV (pure struct + numpy): returns
+    (sample_rate, channels, samples int16 [n_frames, channels])."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt_code}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    samples = samples[: len(samples) // channels * channels].reshape(-1, channels)
+    return rate, channels, samples
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, duration_ms int, rms double, zero_crossing_rate double"
+)
+
+
+def audio_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Decode + feature-extract audio: REAL for PCM WAV payloads
+    (duration/RMS/zero-crossing from actual samples); the seeded fake
+    covers compressed formats under ``deterministic_fake``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image decode requires a codec library (PIL/opencv); "
-                    "install and replace this branch with e.g. "
-                    "PIL.Image.open(io.BytesIO(payload))"
-                )
+            rows = []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                try:
+                    rate, _, samples = decode_wav(payload or b"")
+                    mono = samples.mean(axis=1)
+                    n = len(mono)
+                    rms = float(np.sqrt(np.mean((mono / 32768.0) ** 2))) if n else 0.0
+                    zcr = (
+                        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        if n > 1
+                        else 0.0
+                    )
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "duration_ms": int(n / rate * 1000),
+                            "rms": rms,
+                            "zero_crossing_rate": zcr,
+                        }
+                    )
+                except ValueError:
+                    if not deterministic_fake:
+                        raise NotImplementedError(
+                            "compressed audio decode requires a codec "
+                            "library (ffmpeg/soundfile); replace this branch"
+                        ) from None
+                    f = _fake_feature(payload or b"", 2)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "duration_ms": int(dur or 0),
+                            "rms": float(abs(f[0])),
+                            "zero_crossing_rate": float(abs(f[1])),
+                        }
+                    )
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": pdf["width"].fillna(0).astype("int32"),
-                    "height": pdf["height"].fillna(0).astype("int32"),
-                    "feature": [ _fake_feature(p, dim) for p in pdf["payload"] ],
-                }
+                rows,
+                columns=["media_id", "duration_ms", "rms", "zero_crossing_rate"],
+            )
+
+    return media.where("kind = 'audio'").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def image_features(
+    media: DataFrame, dim: int = 16, deterministic_fake: bool = True
+) -> DataFrame:
+    """Decode + feature-extract images: REAL pixel statistics for
+    24-bit BMP payloads (decode_bmp needs no codec library); the seeded
+    fake covers compressed formats under ``deterministic_fake``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                try:
+                    rw, rh, feat = bmp_feature(payload or b"")
+                    rows.append(
+                        {"media_id": mid, "width": rw, "height": rh, "feature": feat}
+                    )
+                except ValueError:
+                    if not deterministic_fake:
+                        raise NotImplementedError(
+                            "compressed image decode requires a codec library "
+                            "(PIL/opencv); install and replace this branch with "
+                            "e.g. PIL.Image.open(io.BytesIO(payload))"
+                        ) from None
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "width": int(w or 0),
+                            "height": int(h or 0),
+                            "feature": _fake_feature(payload, dim),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "feature"]
             )
 
     return media.where("kind = 'image'").mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)

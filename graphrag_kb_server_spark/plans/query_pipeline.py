@@ -53,6 +53,21 @@ def extract_keywords(query: str, user_keywords: list[str] | None = None) -> list
     return out
 
 
+def extract_keywords_hl_ll(
+    query: str, user_keywords: list[str] | None = None
+) -> tuple[list[str], list[str]]:
+    """The reference splits keywords into high-level (thematic) and
+    low-level (specific entities) lists (lightrag_search.py:689-699).
+    Deterministic stand-in: capitalized entity spans → low-level,
+    tf-ranked terms + user keywords → high-level."""
+    spans = re.findall(r"(?:[A-Z][A-Za-z0-9'&-]*)(?:\s+[A-Z][A-Za-z0-9'&-]*)*", query)
+    words = [w for w in re.findall(r"[a-z]+", query.lower()) if w not in _STOPWORDS]
+    ranked = [w for w, _ in Counter(words).most_common(8)]
+    ll = list(dict.fromkeys(s for s in spans if s))
+    hl = [w for w in dict.fromkeys(ranked + (user_keywords or [])) if w not in ll]
+    return hl, ll
+
+
 @dataclass
 class QueryParams:
     """Mirror of the reference QueryParameters defaults
@@ -79,30 +94,106 @@ class GraphTables:
     entity_embeddings: DataFrame
     relation_embeddings: DataFrame
     chunk_embeddings: DataFrame
+    # (file_path, last_modified) — P12: for webtext the authoritative
+    # last-modified is warc_ts (operators.personalization.last_modified);
+    # joined into the query reference list (lightrag_search.py:826-861)
+    path_properties: DataFrame | None = None
+
+
+# The four-slot context template (reference: PROMPTS["kg_query_context"]
+# formatted at lightrag_search.py:895-900 with entities_str/relations_str/
+# text_chunks_str/reference_list_str; section payloads are JSON-lines,
+# lightrag_search.py:780-785, :822-824; reference rows are
+# "[id] path (last_modified: iso)", :846-853).
+KG_QUERY_CONTEXT_TEMPLATE = """-----Entities(KG)-----
+
+```json
+{entities_str}
+```
+
+-----Relationships(KG)-----
+
+```json
+{relations_str}
+```
+
+-----Document Chunks(DC)-----
+
+```json
+{text_chunks_str}
+```
+
+-----Reference Document List-----
+
+{reference_list_str}
+"""
 
 
 @dataclass
 class QueryContext:
+    # post-truncation row shapes match the reference exactly
+    # (lightrag_search.py:1166-1173, :1193-1200 minus the file_path/
+    # created_at keys the reference strips during truncation, :1208-1240):
+    # entities: {entity, type, description}; relations: {entity1,
+    # entity2, description}; chunks: {reference_id, content} (+ chunk_id/
+    # file_path kept for provenance, not serialized into the context).
     entities: list[dict] = field(default_factory=list)
     relations: list[dict] = field(default_factory=list)
     chunks: list[dict] = field(default_factory=list)
     keywords: list[str] = field(default_factory=list)
+    keywords_hl: list[str] = field(default_factory=list)
+    keywords_ll: list[str] = field(default_factory=list)
     references: list[dict] = field(default_factory=list)
+    mode: str = "hybrid"
     processing_info: dict = field(default_factory=dict)
 
+    def reference_list_str(self) -> str:
+        def fmt(r: dict) -> str:
+            lm = r.get("last_modified")
+            ts = f" (last_modified: {lm.isoformat()})" if lm else ""
+            return f"[{r['reference_id']}] {r['file_path']}{ts}"
+
+        return "\n".join(fmt(r) for r in self.references if r["reference_id"])
+
     def context_str(self) -> str:
-        """Q16 — JSON-lines context assembly (reference :728-924)."""
+        """Q16 — the templated context assembly (reference :728-924)."""
         import json
 
-        parts = []
-        for title, rows in (
-            ("-----Entities-----", self.entities),
-            ("-----Relationships-----", self.relations),
-            ("-----Chunks-----", self.chunks),
-        ):
-            parts.append(title)
-            parts.extend(json.dumps(r, ensure_ascii=False, sort_keys=True) for r in rows)
-        return "\n".join(parts)
+        def lines(rows, keys):
+            return "\n".join(
+                json.dumps({k: r[k] for k in keys}, ensure_ascii=False)
+                for r in rows
+            )
+
+        return KG_QUERY_CONTEXT_TEMPLATE.format(
+            entities_str=lines(self.entities, ("entity", "type", "description")),
+            relations_str=lines(
+                self.relations, ("entity1", "entity2", "description")
+            ),
+            text_chunks_str=lines(self.chunks, ("reference_id", "content")),
+            reference_list_str=self.reference_list_str(),
+        )
+
+    def raw_data(self) -> dict:
+        """The structured payload next to the context string
+        (convert_to_user_format shape + the metadata/processing_info
+        counts at lightrag_search.py:693-712)."""
+        return {
+            "data": {
+                "entities": self.entities,
+                "relationships": self.relations,
+                "chunks": self.chunks,
+            },
+            "metadata": {
+                "query_mode": self.mode,
+                "keywords": {
+                    "high_level": self.keywords_hl,
+                    "low_level": self.keywords_ll,
+                },
+                "processing_info": self.processing_info,
+            },
+            "status": "success",
+        }
 
 
 def _entity_search(g: GraphTables, qvec, k: int) -> DataFrame:
@@ -235,18 +326,35 @@ def kg_query(
     )
 
     # ── Stage 2: token truncation (Q8) ───────────────────────────────
+    # token accounting serializes the same stripped row shape the
+    # reference does (file_path/created_at removed before counting,
+    # lightrag_search.py:1208-1240): entities as {entity, type,
+    # description}, relations as {entity1, entity2, description}
+    n_entities_found = n_relations_found = 0
     if entities is not None:
+        n_entities_found = entities.count()
         entities = entities.withColumn(
             "_ser",
-            F.to_json(F.struct("name", "type", "description", "degree")),
+            F.to_json(
+                F.struct(
+                    F.col("name").alias("entity"), "type", "description"
+                )
+            ),
         )
         entities = truncate_by_token_budget(
             entities, "_ser", "merge_ix", params.max_entity_tokens
         ).drop("_ser")
     if relations is not None:
+        n_relations_found = relations.count()
         relations = relations.withColumn(
             "_ser",
-            F.to_json(F.struct("src", "tgt", "keywords", "description", "weight")),
+            F.to_json(
+                F.struct(
+                    F.col("src").alias("entity1"),
+                    F.col("tgt").alias("entity2"),
+                    "description",
+                )
+            ),
         )
         relations = truncate_by_token_budget(
             relations, "_ser", "merge_ix", params.max_relation_tokens
@@ -319,11 +427,13 @@ def kg_query(
         branch_ix += 1
 
     merged_chunks = None
+    n_merged_chunks = 0
     if chunk_branches:
         merged_ids = round_robin_merge(chunk_branches, ["chunk_id"])
         merged_chunks = merged_ids.join(
             g.chunks.select("chunk_id", "content", "file_path"), "chunk_id"
         )
+        n_merged_chunks = merged_chunks.count()
         # ── Q14: dynamic chunk token budget ──────────────────────────
         overhead = len(extract_keywords(query)) + 200
         budget = max(params.max_total_tokens - params.max_entity_tokens
@@ -333,36 +443,53 @@ def kg_query(
         )
 
     # ── Stage 4: context assembly (collect the small result) ─────────
-    ctx = QueryContext(keywords=keywords)
+    hl, ll = extract_keywords_hl_ll(query, user_keywords)
+    ctx = QueryContext(keywords=keywords, keywords_hl=hl, keywords_ll=ll, mode=mode)
     if entities is not None:
         ctx.entities = [
-            {k: r[k] for k in ("name", "type", "description", "degree")}
+            {"entity": r["name"], "type": r["type"],
+             "description": r["description"]}
             for r in entities.orderBy("merge_ix").collect()
         ]
     if relations is not None:
         ctx.relations = [
-            {k: r[k] for k in ("src", "tgt", "keywords", "description", "weight")}
+            {"entity1": r["src"], "entity2": r["tgt"],
+             "description": r["description"]}
             for r in relations.orderBy("merge_ix").collect()
         ]
     if merged_chunks is not None:
-        ctx.chunks = [
-            {"chunk_id": r["chunk_id"], "content": r["content"],
-             "file_path": r["file_path"], "ref_ix": i + 1}
-            for i, r in enumerate(merged_chunks.orderBy("merge_ix").collect())
-        ]
-        # Q15/Q21: numbered reference list with <SEP> expansion
+        # Q15/Q21: numbered reference list (+ last_modified from the
+        # path-properties table, lightrag_search.py:826-861) with <SEP>
+        # expansion; each surviving chunk carries its reference_id
         from ..operators.context_ops import expand_file_references, reference_list
 
         refs = expand_file_references(reference_list(merged_chunks))
+        if g.path_properties is not None:
+            refs = refs.drop("last_modified").join(
+                g.path_properties.select("file_path", "last_modified"),
+                "file_path",
+                "left",
+            )
+        ref_rows = refs.orderBy("ref_ix").collect()
         ctx.references = [
-            {"ref_ix": r["ref_ix"], "file_path": r["file_path"]}
-            for r in refs.orderBy("ref_ix").collect()
+            {"reference_id": r["ref_ix"], "file_path": r["file_path"],
+             "last_modified": r["last_modified"]}
+            for r in ref_rows
+        ]
+        ref_by_path = {r["file_path"]: r["ref_ix"] for r in ref_rows}
+        ctx.chunks = [
+            {"reference_id": ref_by_path.get(r["file_path"], 0),
+             "content": r["content"], "chunk_id": r["chunk_id"],
+             "file_path": r["file_path"]}
+            for r in merged_chunks.orderBy("merge_ix").collect()
         ]
     ctx.processing_info = {
-        "mode": mode,
-        "n_entities": len(ctx.entities),
-        "n_relations": len(ctx.relations),
-        "n_chunks": len(ctx.chunks),
+        "total_entities_found": n_entities_found,
+        "total_relations_found": n_relations_found,
+        "entities_after_truncation": len(ctx.entities),
+        "relations_after_truncation": len(ctx.relations),
+        "merged_chunks_count": n_merged_chunks,
+        "final_chunks_count": len(ctx.chunks),
     }
     return ctx
 
@@ -401,10 +528,12 @@ def answer_query(
     context_str = ctx.context_str()
     if params.only_need_context:
         return {"context": context_str, "references": ctx.references,
+                "raw_data": ctx.raw_data(),
                 "processing_info": ctx.processing_info}
     prompt = f"---Context---\n{context_str}\n\n---Question---\n{query}\n"
     if params.only_need_prompt:
         return {"prompt": prompt, "references": ctx.references,
+                "raw_data": ctx.raw_data(),
                 "processing_info": ctx.processing_info}
     cache = LlmCache(spark, cache_path or "/tmp/kgspark_llm_cache")
     answer = answer_with_cache(
@@ -412,4 +541,5 @@ def answer_query(
         {"top_k": attempt_params.top_k}, context_str, llm_fn=llm_fn,
     )
     return {"answer": answer, "references": ctx.references,
+            "raw_data": ctx.raw_data(),
             "processing_info": ctx.processing_info}

@@ -13,6 +13,7 @@ from __future__ import annotations
 from xml.sax.saxutils import escape
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MAX_EXPORT_ROWS = 200_000
 
@@ -54,6 +55,169 @@ def to_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> None:
                 f"</edge>\n"
             )
         f.write("</graph>\n</graphml>\n")
+
+
+def centrality_to_xlsx(
+    centrality: DataFrame, path: str, limit: int = -1
+) -> None:
+    """Centrality scores as an Excel workbook — the reference's
+    ``data.to_excel(buffer, index=True, header=True)`` surface
+    (lightrag_centrality.py:86-96 with its ``limit > 0 → head(limit)``).
+
+    Written as minimal OOXML directly (a .xlsx is a zip of XML parts)
+    so the export has no optional-dependency gap in this image; numbers
+    are numeric cells, everything else inline strings. Driver-side by
+    design — exports are a human/tool compatibility boundary.
+    """
+    _check_size(centrality, "centrality")
+    df = centrality
+    if limit > 0:
+        df = df.limit(limit)
+    rows = df.collect()
+    cols = df.columns
+
+    def cell(ref: str, v) -> str:
+        if v is None or v == "":
+            return f'<c r="{ref}"/>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    def col_ref(ix: int) -> str:  # 0 → A, 26 → AA
+        out = ""
+        ix += 1
+        while ix:
+            ix, rem = divmod(ix - 1, 26)
+            out = chr(ord("A") + rem) + out
+        return out
+
+    sheet_rows = []
+    header = [""] + cols  # leading index column, as to_excel(index=True)
+    sheet_rows.append(
+        "<row r=\"1\">"
+        + "".join(cell(f"{col_ref(i)}1", h) for i, h in enumerate(header))
+        + "</row>"
+    )
+    for rix, r in enumerate(rows, start=2):
+        vals = [rix - 2] + [r[c] for c in cols]
+        sheet_rows.append(
+            f'<row r="{rix}">'
+            + "".join(cell(f"{col_ref(i)}{rix}", v) for i, v in enumerate(vals))
+            + "</row>"
+        )
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(sheet_rows) + "</sheetData></worksheet>"
+    )
+    import zipfile
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def graph_to_html(
+    nodes: DataFrame, edges: DataFrame, path: str, max_nodes: int = 2000
+) -> None:
+    """G10 — interactive HTML graph visualization, the pyvis surface
+    (lightrag_visualization.py:12-44: pyvis Network over the nx graph,
+    per-node colors, physics layout, .show(path)). Self-contained
+    output: embedded JSON + a small canvas force-directed layout — no
+    pyvis/js-CDN dependency. Documented deviation: node colors are
+    md5-derived (deterministic) instead of random.randint, so reruns
+    produce identical files. Driver-side compatibility boundary; capped
+    at ``max_nodes`` highest-degree nodes like any sane viewer."""
+    import hashlib
+    import json as _json
+
+    top = nodes.orderBy(F.desc("degree"), "name").limit(max_nodes).collect() \
+        if "degree" in nodes.columns else nodes.limit(max_nodes).collect()
+    keep = {r["name"] for r in top}
+    ns = [
+        {
+            "id": r["name"],
+            "label": r["name"],
+            "title": (r["description"] or "")[:200] if "description" in nodes.columns else "",
+            "color": "#" + hashlib.md5(r["name"].encode()).hexdigest()[:6],
+        }
+        for r in top
+    ]
+    es = [
+        {"from": r["src"], "to": r["tgt"], "value": float(r["weight"] or 1.0)}
+        for r in edges.select("src", "tgt", "weight").collect()
+        if r["src"] in keep and r["tgt"] in keep
+    ]
+    payload = _json.dumps({"nodes": ns, "edges": es})
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>knowledge graph</title></head>
+<body style="margin:0"><canvas id="c"></canvas><script>
+const data = {payload};
+const cv = document.getElementById('c'), cx = cv.getContext('2d');
+cv.width = innerWidth; cv.height = innerHeight;
+const idx = new Map(data.nodes.map((n,i)=>[n.id,i]));
+const P = data.nodes.map((n,i)=>({{x: cv.width/2 + Math.cos(i*2.4)*i*2,
+                                   y: cv.height/2 + Math.sin(i*2.4)*i*2,
+                                   vx:0, vy:0}}));
+function step() {{
+  for (let i=0;i<P.length;i++) for (let j=i+1;j<P.length;j++) {{
+    let dx=P[j].x-P[i].x, dy=P[j].y-P[i].y, d2=dx*dx+dy*dy+0.01, f=800/d2;
+    P[i].vx-=dx*f; P[i].vy-=dy*f; P[j].vx+=dx*f; P[j].vy+=dy*f;
+  }}
+  for (const e of data.edges) {{
+    const a=P[idx.get(e.from)], b=P[idx.get(e.to)];
+    const dx=b.x-a.x, dy=b.y-a.y;
+    a.vx+=dx*0.002; a.vy+=dy*0.002; b.vx-=dx*0.002; b.vy-=dy*0.002;
+  }}
+  for (const p of P) {{ p.x+=p.vx*=0.85; p.y+=p.vy*=0.85; }}
+  cx.clearRect(0,0,cv.width,cv.height);
+  cx.strokeStyle='#ccc';
+  for (const e of data.edges) {{
+    const a=P[idx.get(e.from)], b=P[idx.get(e.to)];
+    cx.beginPath(); cx.moveTo(a.x,a.y); cx.lineTo(b.x,b.y); cx.stroke();
+  }}
+  data.nodes.forEach((n,i)=>{{
+    cx.fillStyle=n.color;
+    cx.beginPath(); cx.arc(P[i].x,P[i].y,4,0,7); cx.fill();
+  }});
+  requestAnimationFrame(step);
+}}
+step();
+</script></body></html>"""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(html)
 
 
 def communities_to_gexf(communities: DataFrame, path: str) -> None:

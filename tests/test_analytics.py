@@ -107,6 +107,22 @@ def test_lcc(spark):
     assert lcc == {"a", "b", "c"}
 
 
+def test_hierarchical_communities_lcc_gating(spark):
+    """The reference clusters over the largest connected component only
+    (lightrag_clustering.py:236-247): clustering input == LCC node set;
+    nodes outside the LCC get no assignment."""
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    island = [("x", "y"), ("y", "z")]
+    edges = _edges(spark, clique + island)
+    asg = hierarchical_communities(edges, max_cluster_size=10)
+    assigned = {r["node"] for r in asg.select("node").distinct().collect()}
+    lcc = {r["node"] for r in largest_connected_component(edges).collect()}
+    assert assigned == lcc == set("abcd")
+    # opt-out covers the whole graph
+    asg_all = hierarchical_communities(edges, max_cluster_size=10, use_lcc=False)
+    assert {r["node"] for r in asg_all.select("node").distinct().collect()} == set("abcdxyz")
+
+
 def test_random_walk_with_restart(spark):
     # star graph: neighbors of hub get visited most
     pairs = [("hub", x) for x in ["a", "b", "c"]] + [("far1", "far2")]

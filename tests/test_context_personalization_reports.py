@@ -128,6 +128,93 @@ def test_p9_p10(spark):
     assert len(qs["questions"]) == 3 and "Berlin" in qs["questions"][0]
 
 
+def test_p7_summarize_documents(spark):
+    """P7 contract (search_documents.py:94-135): per-doc summary = first
+    2 sentences + question digest (pure Catalyst); a custom fn runs
+    Arrow-batched."""
+    from graphrag_kb_server_spark.operators.personalization import summarize_documents
+
+    docs = spark.createDataFrame(
+        [("d1", "One. Two. Three. Four."), ("d2", "Solo sentence")],
+        "file_path string, content string",
+    )
+    out = {r["file_path"]: r["summary"]
+           for r in summarize_documents(docs, "profile", "what matters?").collect()}
+    assert out["d1"] == "One. Two [re: what matters?]"
+    assert out["d2"] == "Solo sentence [re: what matters?]"
+    custom = summarize_documents(
+        docs, "profile", "q", summarize_fn=lambda c: c[:3].upper()
+    )
+    assert {r["summary"] for r in custom.collect()} == {"ONE", "SOL"}
+
+
+def test_p8_topics(spark):
+    """P8 (service/topic_generation.py:48-66): type filter → centrality
+    desc → limit, projected to (name, description, type)."""
+    from graphrag_kb_server_spark.operators.graph_support import topics
+
+    cent = spark.createDataFrame(
+        [("B", "concept", "db", 0.9), ("A", "concept", "da", 0.9),
+         ("C", "geo", "dc", 0.5), ("D", "person", "dd", 1.0)],
+        "entity_id string, entity_type string, description string, centrality double",
+    )
+    out = topics(cent, ["concept", "geo"], limit=2).collect()
+    assert [(r["name"], r["type"]) for r in out] == [("A", "concept"), ("B", "concept")]
+    assert set(out[0].asDict()) == {"name", "description", "type"}
+
+
+def test_p13_enrich_references(spark):
+    """P13 (main/query_support.py:94-199): drop KG-type refs, join links
+    + last_modified, dedup by file keeping the lowest ref_ix."""
+    from graphrag_kb_server_spark.operators.personalization import enrich_references
+
+    refs = spark.createDataFrame(
+        [(1, "f1", "DC"), (2, "f2", "KG"), (3, "f1", "DC"), (4, "f3", "DC")],
+        "ref_ix int, file_path string, type string",
+    )
+    links = spark.createDataFrame(
+        [("f1", "https://l1")], "file_path string, link string"
+    )
+    props = spark.createDataFrame(
+        [("f1", dt.datetime(2026, 2, 1)), ("f3", dt.datetime(2026, 3, 1))],
+        "file_path string, last_modified timestamp",
+    )
+    out = {r["file_path"]: r for r in
+           enrich_references(refs, links, props).collect()}
+    assert set(out) == {"f1", "f3"}, "KG ref dropped, f1 deduped"
+    assert out["f1"]["ref_ix"] == 1 and out["f1"]["link"] == "https://l1"
+    assert out["f3"]["last_modified"] == dt.datetime(2026, 3, 1)
+    assert out["f3"]["link"] is None
+
+
+def test_p14_doc_summary_lookup(spark):
+    """P14 (lightrag_summary.py:12-33): file_path → content_summary."""
+    from graphrag_kb_server_spark.operators.personalization import doc_summary_lookup
+
+    status = spark.createDataFrame(
+        [("f1", "sum1", "processed"), ("f2", "sum2", "processed")],
+        "file_path string, content_summary string, status string",
+    )
+    paths = spark.createDataFrame([("f1",), ("fX",)], "file_path string")
+    out = {r["file_path"]: r["content_summary"]
+           for r in doc_summary_lookup(status, paths).collect()}
+    assert out == {"f1": "sum1", "fX": None}
+
+
+def test_p2_custom_fn_arrow_batched(spark):
+    """The LLM-slot path of match_and_score (caller-supplied score_fn)
+    runs through a pandas_udf and honors the threshold."""
+    cand = _centrality(spark)
+    out = match_and_score(
+        cand, "profile", threshold=0.5,
+        score_fn=lambda name, prof: (0.9 if " " in name else 0.1, "low"),
+    )
+    names = {r["entity_id"] for r in out.collect()}
+    assert names == {"Artificial Intelligence", "Alice Johnson"}
+    scored = {r["entity_id"]: r["score"] for r in out.collect()}
+    assert all(v == 0.9 for v in scored.values())
+
+
 def test_p12_last_modified(spark):
     pages = spark.createDataFrame(
         [("u1", dt.datetime(2026, 1, 2))], "url string, warc_ts timestamp"

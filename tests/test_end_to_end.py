@@ -29,6 +29,7 @@ def indexed(spark, tmp_out):
 
 def _graph_tables(spark, out) -> GraphTables:
     rd = lambda n: spark.read.parquet(f"{out}/{n}")
+    docs = rd("documents")
     return GraphTables(
         nodes=rd("nodes"),
         edges=rd("edges"),
@@ -36,6 +37,10 @@ def _graph_tables(spark, out) -> GraphTables:
         entity_embeddings=rd("entity_embeddings"),
         relation_embeddings=rd("relation_embeddings"),
         chunk_embeddings=rd("chunk_embeddings"),
+        path_properties=docs.select(
+            F.col("url").alias("file_path"),
+            F.col("warc_ts").alias("last_modified"),
+        ).dropDuplicates(["file_path"]),
     )
 
 
@@ -68,13 +73,18 @@ def test_kg_query_modes(spark, indexed):
         )
         if mode in ("local", "hybrid", "mix"):
             assert ctx.entities, mode
-            assert hub in [e["name"] for e in ctx.entities], mode
+            assert hub in [e["entity"] for e in ctx.entities], mode
         if mode in ("global", "hybrid", "mix"):
             assert ctx.relations, mode
         assert ctx.chunks, mode
-        assert ctx.context_str().startswith("-----Entities-----")
+        assert ctx.context_str().startswith("-----Entities(KG)-----")
         # token budgets respected (serialized rows fit the running sum)
-        assert ctx.processing_info["n_entities"] <= 10
+        assert ctx.processing_info["entities_after_truncation"] <= 10
+        # Q15 fidelity: every reference carries warc_ts-derived
+        # last_modified (lightrag_search.py:826-861)
+        assert ctx.references and all(
+            r["last_modified"] is not None for r in ctx.references
+        ), mode
 
 
 def test_resume_skips_and_is_identical(spark, indexed, tmp_out):
@@ -120,8 +130,11 @@ def test_answer_query_modes_and_q12(spark, indexed, tmp_out):
         spark, g, q, QueryParams(mode="hybrid", top_k=8, only_need_context=True),
         cache_path=f"{tmp_out}/cache1",
     )
-    assert "-----Entities-----" in ctx_only["context"]
+    assert "-----Entities(KG)-----" in ctx_only["context"]
     assert ctx_only["references"], "reference list populated"
+    assert ctx_only["raw_data"]["metadata"]["processing_info"][
+        "final_chunks_count"
+    ] == len(ctx_only["raw_data"]["data"]["chunks"])
     prompt_only = answer_query(
         spark, g, q, QueryParams(mode="local", top_k=8, only_need_prompt=True),
         cache_path=f"{tmp_out}/cache1",
@@ -135,6 +148,65 @@ def test_answer_query_modes_and_q12(spark, indexed, tmp_out):
     # Q12 vector chunk pick path
     vec = kg_query(spark, g, q, QueryParams(mode="local", top_k=8, chunk_pick="vector"))
     assert vec.chunks
+
+
+def test_q16_context_template_shape(spark, indexed):
+    """Q16 fidelity: the context string has the reference's four
+    template sections in order, JSON-lines payloads with the reference's
+    exact row keys (lightrag_search.py:780-785, :822-824, :1166-1200
+    post-truncation shapes), and '[id] path (last_modified: iso)'
+    reference rows (:846-853)."""
+    import json
+    import re as _re
+
+    out, _ = indexed
+    g = _graph_tables(spark, out)
+    hub = (
+        spark.read.parquet(f"{out}/nodes")
+        .orderBy(F.desc("mention_count"))
+        .first()["name"]
+    )
+    ctx = kg_query(spark, g, f"Tell me about {hub}",
+                   QueryParams(mode="hybrid", top_k=8))
+    s = ctx.context_str()
+    sections = ["-----Entities(KG)-----", "-----Relationships(KG)-----",
+                "-----Document Chunks(DC)-----",
+                "-----Reference Document List-----"]
+    positions = [s.index(sec) for sec in sections]
+    assert positions == sorted(positions), "sections in template order"
+    # JSON-lines payloads carry exactly the reference's row keys
+    ent_block = s[s.index(sections[0]):s.index(sections[1])]
+    ent_rows = [json.loads(l) for l in ent_block.splitlines()
+                if l.startswith("{")]
+    assert ent_rows and all(
+        list(r.keys()) == ["entity", "type", "description"] for r in ent_rows
+    )
+    rel_block = s[s.index(sections[1]):s.index(sections[2])]
+    rel_rows = [json.loads(l) for l in rel_block.splitlines()
+                if l.startswith("{")]
+    assert rel_rows and all(
+        list(r.keys()) == ["entity1", "entity2", "description"] for r in rel_rows
+    )
+    chunk_block = s[s.index(sections[2]):s.index(sections[3])]
+    chunk_rows = [json.loads(l) for l in chunk_block.splitlines()
+                  if l.startswith("{")]
+    assert chunk_rows and all(
+        list(r.keys()) == ["reference_id", "content"] for r in chunk_rows
+    )
+    ref_block = s[s.index(sections[3]):]
+    ref_lines = [l for l in ref_block.splitlines() if l.startswith("[")]
+    assert ref_lines and all(
+        _re.match(r"^\[\d+\] \S+ \(last_modified: .+\)$", l) for l in ref_lines
+    )
+    # raw_data carries the reference's metadata/processing_info keys
+    rd = ctx.raw_data()
+    assert set(rd["data"]) == {"entities", "relationships", "chunks"}
+    assert set(rd["metadata"]["processing_info"]) == {
+        "total_entities_found", "total_relations_found",
+        "entities_after_truncation", "relations_after_truncation",
+        "merged_chunks_count", "final_chunks_count",
+    }
+    assert set(rd["metadata"]["keywords"]) == {"high_level", "low_level"}
 
 
 def test_hybrid_cross_derivation(spark, indexed):

@@ -35,3 +35,26 @@ def test_windowed_event_counts_batch(spark):
     }
     assert out[(0, "click")] == (2, 3.0)
     assert out[(5, "click")] == (1, 3.0)
+
+
+def test_s8_upsert_merge(spark, tmp_out):
+    """S8 MERGE semantics: matched rows replaced, unmatched inserted,
+    last-write-wins within a batch, crash-safe version pointer."""
+    from graphrag_kb_server_spark.sources.upsert import read_table, upsert
+
+    tdir = f"{tmp_out}/upsert_tbl"
+    base = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "b", 1)], "key string, val string, ver int"
+    )
+    upsert(spark, base, tdir, keys=["key"])
+    # matched update + insert + in-batch duplicate (max order_col wins)
+    updates = spark.createDataFrame(
+        [("k2", "b2", 2), ("k3", "c", 2), ("k3", "c-late", 3)],
+        "key string, val string, ver int",
+    )
+    out = upsert(spark, updates, tdir, keys=["key"], order_col="ver")
+    got = {r["key"]: (r["val"], r["ver"]) for r in out.collect()}
+    assert got == {"k1": ("a", 1), "k2": ("b2", 2), "k3": ("c-late", 3)}
+    # reread through the pointer sees the same state
+    got2 = {r["key"]: r["val"] for r in read_table(spark, tdir).collect()}
+    assert got2 == {"k1": "a", "k2": "b2", "k3": "c-late"}

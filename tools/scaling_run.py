@@ -190,8 +190,11 @@ def main() -> None:
     print(f"corpus: {corpus}", file=sys.stderr)
 
     repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    regimes = os.environ.get("SCALING_REGIMES", "raw,slot").split(",")
     results = {}
     for regime, k in (("raw", 0), ("slot", slot)):
+        if regime not in regimes:
+            continue
         runs: dict[int, list[dict]] = {8: [], 32: []}
         # interleave levels within each repeat so time-varying hypervisor
         # steal (observed 0-55% on this VM) hits both levels similarly;
@@ -211,9 +214,10 @@ def main() -> None:
         }
     hw = hardware_baseline()
     results["hardware_baseline"] = hw
-    results["slot_efficiency_hw_normalized"] = round(
-        results["slot"]["scaling_efficiency"] / hw["hw_efficiency_ceiling"], 3
-    )
+    if "slot" in results:
+        results["slot_efficiency_hw_normalized"] = round(
+            results["slot"]["scaling_efficiency"] / hw["hw_efficiency_ceiling"], 3
+        )
     results["n_docs"] = n_docs
     results["slot_kops_per_chunk"] = slot
     print(json.dumps(results))
