@@ -643,6 +643,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return random_walk_with_restart(edges, src, samples=50, path_length=5, topk=10)
     q["g4_random_walk"] = g4_random_walk
 
+    def g5_panther(spark, sf):
+        from graphrag_kb_server_spark.operators.walks import (
+            _adjacency,
+            panther_similarity,
+        )
+
+        m = _mentions_from_lineitem(spark, sf)
+        edges = build_edges(m)
+        # deterministic source: the max-degree hub (ties by node)
+        src = (
+            _adjacency(edges).orderBy(F.desc("degree"), "node").first()["node"]
+        )
+        return panther_similarity(edges, src, k=5, path_length=5, num_paths=200)
+    q["g5_panther"] = g5_panther
+
     def dedup_minhash_drop(spark, sf):
         docs = _t(spark, sf, "documents")
         return minhash_lsh_dedup(docs, "text", "doc_id").select("doc_id")
@@ -1350,6 +1365,67 @@ SELECT node AS name,
        CAST(count(*) AS DOUBLE) / 250.0 AS score
 FROM visits WHERE node <> (SELECT s FROM src_node)
 GROUP BY node ORDER BY score DESC, name LIMIT 10
+"""
+
+    # g5 Panther-style path-sampling similarity, mirrored exactly: 200
+    # md5-seeded paths of 5 steps (operators/walks.py:120-193); start
+    # node = fold(md5('42:' || pid)) mod |nodes| over the sorted node
+    # index; per step, neighbors[fold(md5('p42:' || pid || ':step')) mod
+    # degree + 1]; score(u) = |source-paths containing u| / |source-paths|.
+    panther_steps = []
+    prev_p = "w0"
+    for step in range(5):
+        panther_steps.append(
+            f"pm{step} AS (\n"
+            f"  SELECT p.pid, p.node,\n"
+            f"         md5('p42:' || CAST(p.pid AS VARCHAR) || ':{step}') AS hh\n"
+            f"  FROM {prev_p} p\n"
+            f"),\n"
+            f"ps{step} AS (\n"
+            f"  SELECT x.pid,\n"
+            f"         adj.neighbors[CAST(({_fold_hex('x.hh')}) % adj.degree AS BIGINT) + 1] AS node\n"
+            f"  FROM pm{step} x JOIN adj ON adj.node = x.node\n"
+            f")"
+        )
+        prev_p = f"ps{step}"
+    panther_union = " UNION ALL ".join(
+        ["SELECT pid, node FROM w0"]
+        + [f"SELECT pid, node FROM ps{s}" for s in range(5)]
+    )
+    o["g5_panther"] = f"""
+WITH m AS ({_MENTIONS_SQL}),
+ew AS (SELECT DISTINCT least(subj, obj) AS src, greatest(subj, obj) AS tgt FROM m),
+sym AS (SELECT src AS a, tgt AS b FROM ew UNION SELECT tgt, src FROM ew),
+adj AS MATERIALIZED (
+  SELECT a AS node, list(b ORDER BY b) AS neighbors, count(*) AS degree
+  FROM sym GROUP BY a
+),
+nn AS (SELECT count(*) AS n FROM adj),
+srcn AS MATERIALIZED (
+  SELECT node AS s FROM adj ORDER BY degree DESC, node LIMIT 1
+),
+ids AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS ix FROM adj),
+w0h AS (
+  SELECT CAST(range AS BIGINT) AS pid,
+         md5('42:' || CAST(range AS VARCHAR)) AS hh
+  FROM range(200)
+),
+w0 AS MATERIALIZED (
+  SELECT h.pid, i.node
+  FROM (SELECT pid, ({_fold_hex('hh')}) % (SELECT n FROM nn) AS ix FROM w0h) h
+  JOIN ids i ON i.ix = h.ix
+),
+{",".join(panther_steps)},
+members AS MATERIALIZED (SELECT DISTINCT pid, node FROM ({panther_union})),
+srcp AS MATERIALIZED (
+  SELECT DISTINCT pid FROM members WHERE node = (SELECT s FROM srcn)
+),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM srcp)
+SELECT node AS name,
+       CAST(count(*) AS DOUBLE) / (SELECT c FROM ns) AS score
+FROM members JOIN srcp USING (pid)
+WHERE node <> (SELECT s FROM srcn)
+GROUP BY node ORDER BY score DESC, name LIMIT 5
 """
 
     # pinned VALUES oracles recomputed at call time from golden.py's
