@@ -121,6 +121,72 @@ def expand_file_references(refs: DataFrame, file_col: str = "file_path") -> Data
     )
 
 
+# The reference's rag_response system prompt (overridden at
+# lightrag_search.py:87-117): Role / Goal / timestamp-handling rules /
+# the knowledge block / Response Rules with {response_type} and
+# {user_prompt} slots and the [KG/DC] reference-citation instruction.
+# Same section structure and slots; the LLM slot itself stays a
+# deterministic stand-in in this engine.
+RAG_RESPONSE_TEMPLATE = """---Role---
+
+You are a helpful assistant responding to user query about Knowledge \
+Graph and Document Chunks provided in JSON format below.
+
+---Goal---
+
+Generate a concise response based on Knowledge Base and follow \
+Response Rules, considering both the conversation history and the \
+current query. Summarise all information in the provided Knowledge \
+Base, and incorporating general knowledge relevant to the Knowledge \
+Base. Do not include information not provided by Knowledge Base.
+
+When handling relationships with timestamps:
+1. Each relationship has a "created_at" timestamp indicating when we \
+acquired this knowledge
+2. When encountering conflicting relationships, consider both the \
+semantic content and the timestamp
+3. Don't automatically prefer the most recently created relationships \
+- use judgment based on the context
+4. For time-specific queries, prioritise temporal information in the \
+content before considering creation timestamps
+
+---Knowledge Graph and Document Chunks---
+{context_data}
+
+---Response Rules---
+
+- Target format and length: {response_type}
+- Use markdown formatting with appropriate section headings
+- Please respond in the same language as the user's question.
+- Ensure the response maintains continuity with the conversation \
+history.
+- List up to 10 most important reference sources at the end under \
+"References" section. Clearly indicating whether each source is from \
+Knowledge Graph (KG) or Document Chunks (DC), and include the file \
+path if available, in the following format: [KG/DC] file_path
+- If you don't know the answer, just say so.
+- Do not make anything up. Do not include information not provided by \
+the Knowledge Base.
+- Addtional user prompt: {user_prompt}
+
+Response:"""
+
+
+def build_rag_prompt(
+    context_data: str,
+    response_type: str = "Multiple Paragraphs",
+    user_prompt: str = "",
+) -> str:
+    """Q17 — the system prompt handed to the LLM slot, with the
+    reference's section structure and format slots
+    (lightrag_search.py:87-117; response_type default at :771-775)."""
+    return RAG_RESPONSE_TEMPLATE.format(
+        context_data=context_data,
+        response_type=response_type,
+        user_prompt=user_prompt,
+    )
+
+
 def compute_args_hash(mode: str, query: str, params: dict) -> str:
     """Q17 — deterministic cache key (compute_args_hash analogue)."""
     payload = json.dumps({"mode": mode, "query": query, "params": params},
@@ -164,11 +230,13 @@ class LlmCache:
 
 def answer_with_cache(
     cache: LlmCache, mode: str, query: str, params: dict, context_str: str,
-    llm_fn=None,
+    llm_fn=None, prompt: str | None = None,
 ) -> str:
     """Q17 — cache lookup → LLM slot → post-cleanup → cache store.
     ``llm_fn(prompt)`` is the model boundary; the deterministic echo
-    stand-in returns a digest of the context (reproducible)."""
+    stand-in returns a digest of the context (reproducible). ``prompt``
+    overrides the default framing (answer_query passes the reference's
+    rag_response system prompt built by :func:`build_rag_prompt`)."""
     h = compute_args_hash(mode, query, params)
     hit = cache.get(h)
     if hit is not None:
@@ -177,7 +245,7 @@ def answer_with_cache(
         def llm_fn(prompt: str) -> str:
             d = hashlib.md5(prompt.encode("utf-8")).hexdigest()[:12]
             return f"[deterministic-echo {d}] {query}"
-    answer = llm_fn(f"context:\n{context_str}\n\nquestion: {query}")
+    answer = llm_fn(prompt or f"context:\n{context_str}\n\nquestion: {query}")
     # reference post-cleanup replace chain (lightrag_search.py:560-590)
     for junk in ("<|endoftext|>", "<|im_end|>"):
         answer = answer.replace(junk, "")

@@ -84,6 +84,9 @@ class QueryParams:
     # Q19 (lightrag_search.py:454-487)
     only_need_context: bool = False
     only_need_prompt: bool = False
+    # Q17 prompt slots (reference defaults at lightrag_search.py:771-777)
+    response_type: str = "Multiple Paragraphs"
+    user_prompt: str = ""
 
 
 @dataclass
@@ -530,7 +533,14 @@ def answer_query(
         return {"context": context_str, "references": ctx.references,
                 "raw_data": ctx.raw_data(),
                 "processing_info": ctx.processing_info}
-    prompt = f"---Context---\n{context_str}\n\n---Question---\n{query}\n"
+    from ..operators.context_ops import build_rag_prompt
+
+    # the reference's rag_response system prompt wraps the context
+    # (lightrag_search.py:87-117); the query is the user message
+    sys_prompt = build_rag_prompt(
+        context_str, params.response_type, params.user_prompt
+    )
+    prompt = f"{sys_prompt}\n\n---Question---\n{query}\n"
     if params.only_need_prompt:
         return {"prompt": prompt, "references": ctx.references,
                 "raw_data": ctx.raw_data(),
@@ -539,6 +549,7 @@ def answer_query(
     answer = answer_with_cache(
         cache, params.mode, query,
         {"top_k": attempt_params.top_k}, context_str, llm_fn=llm_fn,
+        prompt=prompt,
     )
     return {"answer": answer, "references": ctx.references,
             "raw_data": ctx.raw_data(),

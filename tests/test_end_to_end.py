@@ -139,7 +139,17 @@ def test_answer_query_modes_and_q12(spark, indexed, tmp_out):
         spark, g, q, QueryParams(mode="local", top_k=8, only_need_prompt=True),
         cache_path=f"{tmp_out}/cache1",
     )
-    assert prompt_only["prompt"].startswith("---Context---")
+    # Q17 fidelity: the reference's rag_response system-prompt sections
+    # in order, with the response_type/user_prompt slots filled
+    # (lightrag_search.py:87-117)
+    p = prompt_only["prompt"]
+    markers = ["---Role---", "---Goal---",
+               "---Knowledge Graph and Document Chunks---",
+               "---Response Rules---", "---Question---"]
+    pos = [p.index(m) for m in markers]
+    assert pos == sorted(pos)
+    assert "Target format and length: Multiple Paragraphs" in p
+    assert "[KG/DC] file_path" in p
     a1 = answer_query(spark, g, q, QueryParams(mode="local", top_k=8),
                       cache_path=f"{tmp_out}/cache1")
     a2 = answer_query(spark, g, q, QueryParams(mode="local", top_k=8),
