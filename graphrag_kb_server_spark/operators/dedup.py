@@ -273,6 +273,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     max_bucket: int = 4096,
     target_bucket_rows: int = 8192,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-dup with random-hyperplane (SimHash-for-
     vectors) bucket blocking: sign pattern of ``n_planes`` seeded
@@ -291,11 +292,15 @@ def embedding_near_dup_pairs(
       (``split_oversized_buckets``).
 
     Recall trade: more planes → smaller buckets but more true pairs
-    split across buckets (P[same bucket] = (1 − θ/π)^n_planes). The
-    standard production mitigation is multi-probe (also bucket keys at
-    hamming distance 1 in the sign pattern) or repeating the blocking
-    with ``r`` independent seeds and unioning pairs — both compose with
-    this operator by unioning its output across seeds.
+    split across buckets (P[same bucket] = (1 − θ/π)^n_planes).
+    ``probe_hamming=1`` is the multi-probe mitigation: each row emits
+    its exact sign key PLUS ``n_planes`` one-deletion keys (sign bit i
+    masked to '*'); two rows whose patterns differ in at most one plane
+    share a key, so a true pair straddling ONE hyperplane is still
+    blocked together. Symmetric (one explode on the single table),
+    composes with the oversize split, costs (n_planes+1)× blocking
+    rows. For wider tolerance, repeat the blocking with independent
+    seeds and union the outputs.
 
     Matches the reference's greedy cosine-dedup semantics
     (matching.py:100-128) with keep-earlier-wins applied by the caller.
@@ -337,6 +342,21 @@ def embedding_near_dup_pairs(
     keyed = df.select(
         F.col(id_col).alias("id"), vec_d.alias("v"), bucket.alias("bucket")
     )
+    if probe_hamming > 0:
+        # one-deletion keys: exact pattern + each position masked; rows
+        # at sign-hamming ≤ 1 share at least one key
+        keys = F.array(
+            F.col("bucket"),
+            *[
+                F.concat(
+                    F.substring("bucket", 1, i),
+                    F.lit("*"),
+                    F.substring("bucket", i + 2, n_planes - i - 1),
+                )
+                for i in range(n_planes)
+            ],
+        )
+        keyed = keyed.select("id", "v", F.explode(keys).alias("bucket"))
     keyed = split_oversized_buckets(keyed, "bucket", "id", max_bucket)
     x, y = keyed.alias("x"), keyed.alias("y")
     return (
@@ -345,4 +365,5 @@ def embedding_near_dup_pairs(
         .withColumn("cosine", V.cosine(F.col("x.v"), F.col("y.v")))
         .where(F.col("cosine") >= threshold)
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cosine")
+        .distinct()
     )

@@ -304,3 +304,30 @@ def test_multimodal_real_bmp_wav_decode(spark):
     assert af["duration_ms"] == 100  # 800 samples @ 8 kHz
     assert abs(af["rms"] - 16000 / 32768) < 1e-3
     assert af["zero_crossing_rate"] > 0.9
+
+
+def test_embedding_multiprobe_recovers_boundary_pair(spark):
+    """probe_hamming=1 (one-deletion masked keys): a true near-dup pair
+    straddling exactly ONE hyperplane is invisible to exact-bucket
+    blocking but blocked together by the multi-probe keys."""
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((4, 8))  # same seed/planes as operator
+    # seed chosen so u has comfortable margins on planes 1-3 (the pair
+    # must straddle EXACTLY one plane for the hamming-1 probe to apply)
+    u = np.random.default_rng(8).standard_normal(8)
+    u = u - (u @ planes[0]) / (planes[0] @ planes[0]) * planes[0]
+    v1 = (u + 0.01 * planes[0]).astype("float32")
+    v2 = (u - 0.01 * planes[0]).astype("float32")
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [v1, v2]})
+    )
+    exact = embedding_near_dup_pairs(
+        df, "vec_id", vec_col="embedding", threshold=0.9, n_planes=4, seed=42
+    ).collect()
+    assert exact == [], "pair straddles plane 0 → different exact buckets"
+    probed = embedding_near_dup_pairs(
+        df, "vec_id", vec_col="embedding", threshold=0.9, n_planes=4,
+        seed=42, probe_hamming=1,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in probed] == [(1, 2)]
+    assert probed[0]["cosine"] > 0.99
