@@ -143,7 +143,10 @@ def _char_shingles(s: str, k: int = 3) -> list[str]:
 
 
 def _initials(name: str) -> str:
-    return "".join(w[:1] for w in re.split(r"\s+", name)).upper()
+    # Java regex \s is [ \t\n\x0B\f\r]; Python's additionally matches
+    # \x1c-\x1f — use the Java class so the twin splits exactly like
+    # Catalyst's F.split(name, r"\s+") (found by hypothesis)
+    return "".join(w[:1] for w in re.split(r"[ \t\n\x0B\f\r]+", name)).upper()
 
 
 def _fold_dot(a: list[float], b: list[float]) -> float:

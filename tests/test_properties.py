@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis) over the pure-python kernels the
+distributed operators share with the golden fixtures — the invariants
+the Spark plumbing relies on (SURVEY.md §5: determinism substitution
+makes these the load-bearing contracts).
+
+No SparkSession needed: these run the exact functions the mapInPandas
+stages call, so a property violation here is a pipeline bug.
+"""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphrag_kb_server_spark.golden import _initials as golden_initials
+from graphrag_kb_server_spark.operators.chunking import chunk_text
+from graphrag_kb_server_spark.operators.extraction import extract_triples
+from graphrag_kb_server_spark.tokenizer import count_tokens, decode, encode
+
+text_st = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=400,
+)
+
+
+@given(text_st)
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_lossless_roundtrip(s):
+    """decode(encode(s)) == s byte-for-byte — the property that makes a
+    chunk a true substring window of its document (tiktoken parity)."""
+    toks = encode(s)
+    assert decode(toks) == s
+    assert count_tokens(s) == len(toks)
+    assert all(t != "" for t in toks)
+
+
+@given(text_st, st.integers(8, 64), st.integers(1, 7))
+@settings(max_examples=150, deadline=None)
+def test_chunking_window_invariants(s, max_tokens, overlap):
+    """Windows step by (max-overlap); every token index is covered by
+    some window; per-chunk token counts are honest; chunk 0 starts at
+    the document start."""
+    chunks = chunk_text(s, max_token_size=max_tokens, overlap_token_size=overlap)
+    toks = encode(s)
+    if not toks:
+        assert chunks == []
+        return
+    step = max_tokens - overlap
+    assert [c["chunk_ix"] for c in chunks] == list(range(len(chunks)))
+    covered = 0
+    for i, c in enumerate(chunks):
+        start = i * step
+        window = toks[start : start + max_tokens]
+        assert c["tokens"] == len(window)
+        assert c["content"] == decode(window).strip()
+        covered = max(covered, start + len(window))
+    assert covered == len(toks), "every token reaches some window"
+    # last window reaches the end; windows before it are full-size
+    for c in chunks[:-1]:
+        assert c["tokens"] == max_tokens
+
+
+@given(st.lists(st.sampled_from(
+    ["Alice Johnson", "Acme Systems", "Berlin", "Quantum Computing"]
+), min_size=2, max_size=4, unique=True),
+    st.sampled_from(["acquired", "advises", "partnered with"]))
+@settings(max_examples=60, deadline=None)
+def test_extraction_adjacent_pair_recall(entities, pred):
+    """A well-formed sentence '{A} {pred} {B}.' yields exactly the
+    adjacent-pair triples, with subj/obj preserved verbatim."""
+    sent = " ".join(f"{a} {pred} {b}." for a, b in zip(entities, entities[1:]))
+    triples = extract_triples(sent, is_first_chunk=True)
+    got = {(t["subj"], t["obj"]) for t in triples}
+    assert {(a, b) for a, b in zip(entities, entities[1:])} <= got
+    assert all(t["pred"] for t in triples)
+
+
+@given(text_st)
+@settings(max_examples=150, deadline=None)
+def test_extraction_fragment_suppression(s):
+    """A chunk with chunk_ix > 0 never emits a triple from its leading
+    (possibly cut) sentence, and no triple ever comes from an
+    unterminated trailing fragment — the chunk-boundary correctness
+    contract (overlap > max sentence length gives the intact copy to a
+    neighboring chunk)."""
+    base = "Alice Johnson acquired Acme Systems. "
+    text = base + s.replace(".", " ").replace("!", " ").replace("?", " ")
+    # trailing part has no terminator → only the base sentence extracts
+    triples = extract_triples(text, is_first_chunk=True)
+    assert all(t["description"].endswith((".", "!", "?")) for t in triples)
+    # as a non-first chunk the leading sentence is suppressed too
+    assert extract_triples(base.strip(), is_first_chunk=False) == []
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters="\x00 \t\r\n\x0b\x0c"
+    ),
+    min_size=1, max_size=12), min_size=1, max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_golden_initials_matches_catalyst_shape(words):
+    """The pandas-twin initials (used by the pinned canonical-map
+    oracle) is first-char-per-whitespace-word, uppercased — mirrors
+    functions/text.initials (F.split on \\s+) for space-joined names of
+    non-whitespace words."""
+    name = " ".join(words)
+    got = golden_initials(name)
+    expected = "".join(w[:1] for w in words).upper()
+    assert got == expected
+
+
+def test_serialization_shape_matches_spark_to_json():
+    """The truncation token-accounting serializes {entity,type,
+    description} — Spark's to_json emits compact JSON; the golden/pinned
+    paths must count the same string. Pin the compact shape."""
+    row = {"entity": "Acme Systems", "type": "organization",
+           "description": "a firm"}
+    compact = json.dumps(row, separators=(",", ":"), ensure_ascii=False)
+    assert " " not in compact.split('"a firm"')[0].replace("Acme Systems", "")
