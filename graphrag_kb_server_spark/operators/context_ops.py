@@ -121,12 +121,15 @@ def expand_file_references(refs: DataFrame, file_col: str = "file_path") -> Data
     )
 
 
-# The reference's rag_response system prompt (overridden at
-# lightrag_search.py:87-117): Role / Goal / timestamp-handling rules /
-# the knowledge block / Response Rules with {response_type} and
+# The reference's rag_response system prompt, quoted as a behavioral
+# contract (prompt text is user-facing configuration, not engine code —
+# same rationale as the byte-exact special-token regex in
+# functions/text.py): lightrag_search.py:87-117 overrides
+# PROMPTS["rag_response"] with Role / Goal / timestamp-handling rules /
+# the knowledge block / Response Rules carrying the {response_type} and
 # {user_prompt} slots and the [KG/DC] reference-citation instruction.
-# Same section structure and slots; the LLM slot itself stays a
-# deterministic stand-in in this engine.
+# A user switching engines gets the same system prompt; the LLM slot
+# itself stays a deterministic stand-in here.
 RAG_RESPONSE_TEMPLATE = """---Role---
 
 You are a helpful assistant responding to user query about Knowledge \
