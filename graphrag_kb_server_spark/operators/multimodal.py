@@ -112,6 +112,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + size + (size & 1)
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if not channels or not rate:  # malformed fmt: keep failures on ValueError
+        raise ValueError(f"malformed WAV fmt (channels={channels}, rate={rate})")
     samples = np.frombuffer(data, dtype="<i2")
     samples = samples[: len(samples) // channels * channels].reshape(-1, channels)
     return rate, channels, samples
@@ -161,7 +163,8 @@ def audio_features(media: DataFrame, deterministic_fake: bool = True) -> DataFra
                     rows.append(
                         {
                             "media_id": mid,
-                            "duration_ms": int(dur or 0),
+                            # Arrow hands nullable ints to pandas as NaN (truthy)
+                            "duration_ms": int(dur) if pd.notna(dur) else 0,
                             "rms": float(abs(f[0])),
                             "zero_crossing_rate": float(abs(f[1])),
                         }
@@ -202,8 +205,9 @@ def image_features(
                     rows.append(
                         {
                             "media_id": mid,
-                            "width": int(w or 0),
-                            "height": int(h or 0),
+                            # NaN-safe: nullable ints arrive as NaN via Arrow
+                            "width": int(w) if pd.notna(w) else 0,
+                            "height": int(h) if pd.notna(h) else 0,
                             "feature": _fake_feature(payload, dim),
                         }
                     )
@@ -234,7 +238,7 @@ def sample_video_frames(
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                n = max(int((dur or 0) // every_ms), 1)
+                n = max(int(dur // every_ms) if pd.notna(dur) else 0, 1)
                 for i in range(n):
                     seed_payload = (payload or b"") + i.to_bytes(4, "big")
                     rows.append(

@@ -331,3 +331,46 @@ def test_embedding_multiprobe_recovers_boundary_pair(spark):
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in probed] == [(1, 2)]
     assert probed[0]["cosine"] > 0.99
+
+
+def test_multimodal_null_metadata_and_malformed_wav(spark):
+    """Regression (ADVICE r2): Arrow hands nullable ints to pandas as
+    NaN — the fake path must not crash on NULL width/height/duration;
+    a malformed WAV fmt (channels=0) must fall to the fake path as a
+    ValueError, not escape as ZeroDivisionError."""
+    import struct
+
+    from graphrag_kb_server_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        decode_wav,
+        image_features,
+        sample_video_frames,
+    )
+
+    # PCM WAV header claiming channels=0 (division bait)
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 2, 16)
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(bad_wav)
+
+    rows = [
+        ("i_null", "image", b"\x89PNGfake", "image/png", None, None, None),
+        ("a_null", "audio", b"mp3fake", "audio/mpeg", None, None, None),
+        ("a_bad", "audio", bad_wav, "audio/wav", None, None, None),
+        ("v_null", "video", b"vidfake", "video/mp4", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert feats["i_null"]["width"] == 0 and feats["i_null"]["height"] == 0
+    af = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert af["a_null"]["duration_ms"] == 0
+    assert af["a_bad"]["duration_ms"] == 0  # fake path absorbed it
+    frames = sample_video_frames(media, every_ms=1000).collect()
+    assert [f["frame_ix"] for f in frames] == [0]  # null duration → 1 frame
