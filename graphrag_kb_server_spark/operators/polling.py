@@ -24,9 +24,13 @@ def gradient_quotas(
     entities_ranked: DataFrame,
     rank_col: str,
     total_budget_per_entity: int,
+    n_total: int | None = None,
 ) -> DataFrame:
-    """entities(rank) → + quota column (≥1, linear decreasing)."""
-    r_total = entities_ranked.count()
+    """entities(rank) → + quota column (≥1, linear decreasing).
+
+    Pass ``n_total`` when the caller already knows the entity count
+    (e.g. it collected the truncated list) to avoid a count() job."""
+    r_total = entities_ranked.count() if n_total is None else n_total
     budget = total_budget_per_entity * r_total
     tri = r_total * (r_total + 1) / 2.0
     # floor(x + 0.5) instead of round(): identical half-up semantics in

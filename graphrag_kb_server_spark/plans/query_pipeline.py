@@ -19,14 +19,17 @@ search; hybrid = both; mix = both + direct chunk vector search.
 
 from __future__ import annotations
 
+import json
 import re
 from collections import Counter
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import GRAPH_FIELD_SEP
 from ..functions.embedding import embed_text
+from ..tokenizer import count_tokens
 from ..operators.merge import rank_branch, round_robin_merge
 from ..operators.polling import gradient_quotas, weighted_polling_pick
 from ..operators.truncation import truncate_by_token_budget
@@ -132,6 +135,15 @@ KG_QUERY_CONTEXT_TEMPLATE = """-----Entities(KG)-----
 """
 
 
+def _json_lines(rows, keys) -> str:
+    """JSON-lines section payload, exactly as the reference serializes
+    context rows (json.dumps with default separators, ensure_ascii=False
+    — lightrag_search.py:780-785)."""
+    return "\n".join(
+        json.dumps({k: r[k] for k in keys}, ensure_ascii=False) for r in rows
+    )
+
+
 @dataclass
 class QueryContext:
     # post-truncation row shapes match the reference exactly
@@ -160,20 +172,12 @@ class QueryContext:
 
     def context_str(self) -> str:
         """Q16 — the templated context assembly (reference :728-924)."""
-        import json
-
-        def lines(rows, keys):
-            return "\n".join(
-                json.dumps({k: r[k] for k in keys}, ensure_ascii=False)
-                for r in rows
-            )
-
         return KG_QUERY_CONTEXT_TEMPLATE.format(
-            entities_str=lines(self.entities, ("entity", "type", "description")),
-            relations_str=lines(
+            entities_str=_json_lines(self.entities, ("entity", "type", "description")),
+            relations_str=_json_lines(
                 self.relations, ("entity1", "entity2", "description")
             ),
-            text_chunks_str=lines(self.chunks, ("reference_id", "content")),
+            text_chunks_str=_json_lines(self.chunks, ("reference_id", "content")),
             reference_list_str=self.reference_list_str(),
         )
 
@@ -332,10 +336,14 @@ def kg_query(
     # token accounting serializes the same stripped row shape the
     # reference does (file_path/created_at removed before counting,
     # lightrag_search.py:1208-1240): entities as {entity, type,
-    # description}, relations as {entity1, entity2, description}
-    n_entities_found = n_relations_found = 0
+    # description}, relations as {entity1, entity2, description}.
+    # Pre-truncation counts ride Observations on the plan nodes the
+    # final collects execute anyway — zero extra Spark jobs (the
+    # reference's processing_info counts, lightrag_search.py:693-712).
+    ent_obs = rel_obs = None
     if entities is not None:
-        n_entities_found = entities.count()
+        ent_obs = Observation("n_entities_found")
+        entities = entities.observe(ent_obs, F.count(F.lit(1)).alias("n"))
         entities = entities.withColumn(
             "_ser",
             F.to_json(
@@ -348,7 +356,8 @@ def kg_query(
             entities, "_ser", "merge_ix", params.max_entity_tokens
         ).drop("_ser")
     if relations is not None:
-        n_relations_found = relations.count()
+        rel_obs = Observation("n_relations_found")
+        relations = relations.observe(rel_obs, F.count(F.lit(1)).alias("n"))
         relations = relations.withColumn(
             "_ser",
             F.to_json(
@@ -362,6 +371,32 @@ def kg_query(
         relations = truncate_by_token_budget(
             relations, "_ser", "merge_ix", params.max_relation_tokens
         ).drop("_ser")
+
+    # ── Stage 2b: materialize + collect the token-budgeted entity /
+    #    relation context. Q14's budget needs the tokens ACTUALLY kept
+    #    (lightrag_search.py:780-812); the eager checkpoint is the one
+    #    action that populates the pre-truncation Observations AND lets
+    #    stage 3 reuse the truncated lists without recomputing the
+    #    merge/truncate windows per downstream branch. ─────────────────
+    hl, ll = extract_keywords_hl_ll(query, user_keywords)
+    ctx = QueryContext(keywords=keywords, keywords_hl=hl, keywords_ll=ll, mode=mode)
+    n_entities_found = n_relations_found = 0
+    if entities is not None:
+        entities = entities.localCheckpoint(eager=True)
+        ctx.entities = [
+            {"entity": r["name"], "type": r["type"],
+             "description": r["description"]}
+            for r in entities.orderBy("merge_ix").collect()
+        ]
+        n_entities_found = int(ent_obs.get["n"])
+    if relations is not None:
+        relations = relations.localCheckpoint(eager=True)
+        ctx.relations = [
+            {"entity1": r["src"], "entity2": r["tgt"],
+             "description": r["description"]}
+            for r in relations.orderBy("merge_ix").collect()
+        ]
+        n_relations_found = int(rel_obs.get["n"])
 
     # ── Stage 3: chunk gathering + merge (Q9/Q10/Q11/Q13) ────────────
     chunk_branches: list[DataFrame] = []
@@ -385,7 +420,7 @@ def kg_query(
             from ..operators.context_ops import vector_similarity_chunk_pick
 
             try:
-                n_ent = entities.count()
+                n_ent = len(ctx.entities)
                 picked = vector_similarity_chunk_pick(
                     ent_chunks.select("chunk_id").distinct(),
                     g.chunk_embeddings,
@@ -402,6 +437,7 @@ def kg_query(
                 entities.select("name", "merge_ix").withColumnRenamed("merge_ix", "rank"),
                 "rank",
                 params.related_chunk_number,
+                n_total=len(ctx.entities),  # known — no count() job
             )
             picked = weighted_polling_pick(
                 ent_chunks.withColumnRenamed("member", "name"), quotas, "name"
@@ -430,36 +466,47 @@ def kg_query(
         branch_ix += 1
 
     merged_chunks = None
-    n_merged_chunks = 0
+    chunk_obs = None
+    available_chunk_tokens = 0
     if chunk_branches:
         merged_ids = round_robin_merge(chunk_branches, ["chunk_id"])
+        chunk_obs = Observation("merged_chunks_count")
         merged_chunks = merged_ids.join(
             g.chunks.select("chunk_id", "content", "file_path"), "chunk_id"
+        ).observe(chunk_obs, F.count(F.lit(1)).alias("n"))
+        # ── Q14: dynamic chunk token budget (lightrag_search.py:761-823)
+        # available = max_total − tokens(system-prompt scaffold) −
+        # tokens(kg context ACTUALLY kept) − tokens(query) − 200 buffer,
+        # all through the shared tokenizer — the reference formula, not
+        # the configured-maxima estimate.
+        from ..operators.context_ops import build_rag_prompt
+
+        pre_kg_context = KG_QUERY_CONTEXT_TEMPLATE.format(
+            entities_str=_json_lines(
+                ctx.entities, ("entity", "type", "description")
+            ),
+            relations_str=_json_lines(
+                ctx.relations, ("entity1", "entity2", "description")
+            ),
+            text_chunks_str="",
+            reference_list_str="",
         )
-        n_merged_chunks = merged_chunks.count()
-        # ── Q14: dynamic chunk token budget ──────────────────────────
-        overhead = len(extract_keywords(query)) + 200
-        budget = max(params.max_total_tokens - params.max_entity_tokens
-                     - params.max_relation_tokens - overhead, 100)
+        pre_sys_prompt = build_rag_prompt(
+            "", params.response_type, params.user_prompt
+        )
+        available_chunk_tokens = max(
+            params.max_total_tokens
+            - count_tokens(pre_sys_prompt)
+            - count_tokens(pre_kg_context)
+            - count_tokens(query)
+            - 200,  # reference: reserved for reference list + safety
+            0,
+        )
         merged_chunks = truncate_by_token_budget(
-            merged_chunks, "content", "merge_ix", budget
+            merged_chunks, "content", "merge_ix", available_chunk_tokens
         )
 
     # ── Stage 4: context assembly (collect the small result) ─────────
-    hl, ll = extract_keywords_hl_ll(query, user_keywords)
-    ctx = QueryContext(keywords=keywords, keywords_hl=hl, keywords_ll=ll, mode=mode)
-    if entities is not None:
-        ctx.entities = [
-            {"entity": r["name"], "type": r["type"],
-             "description": r["description"]}
-            for r in entities.orderBy("merge_ix").collect()
-        ]
-    if relations is not None:
-        ctx.relations = [
-            {"entity1": r["src"], "entity2": r["tgt"],
-             "description": r["description"]}
-            for r in relations.orderBy("merge_ix").collect()
-        ]
     if merged_chunks is not None:
         # Q15/Q21: numbered reference list (+ last_modified from the
         # path-properties table, lightrag_search.py:826-861) with <SEP>
@@ -480,8 +527,22 @@ def kg_query(
             for r in ref_rows
         ]
         ref_by_path = {r["file_path"]: r["ref_ix"] for r in ref_rows}
+
+        def _ref_for(raw_path: str) -> int:
+            # a chunk's file_path may be a <SEP>-joined multi-file
+            # string; refs are keyed on the EXPANDED single paths (Q21),
+            # so cite the first (min ref_ix) matching expanded path —
+            # the reference's generate_reference_list_from_chunks
+            # behavior (lightrag_search.py:826-861)
+            hits = [
+                ref_by_path[p]
+                for p in (raw_path or "").split(GRAPH_FIELD_SEP)
+                if p in ref_by_path
+            ]
+            return min(hits) if hits else 0
+
         ctx.chunks = [
-            {"reference_id": ref_by_path.get(r["file_path"], 0),
+            {"reference_id": _ref_for(r["file_path"]),
              "content": r["content"], "chunk_id": r["chunk_id"],
              "file_path": r["file_path"]}
             for r in merged_chunks.orderBy("merge_ix").collect()
@@ -491,8 +552,11 @@ def kg_query(
         "total_relations_found": n_relations_found,
         "entities_after_truncation": len(ctx.entities),
         "relations_after_truncation": len(ctx.relations),
-        "merged_chunks_count": n_merged_chunks,
+        "merged_chunks_count": (
+            int(chunk_obs.get["n"]) if chunk_obs is not None else 0
+        ),
         "final_chunks_count": len(ctx.chunks),
+        "available_chunk_tokens": available_chunk_tokens,
     }
     return ctx
 

@@ -215,6 +215,7 @@ def test_q16_context_template_shape(spark, indexed):
         "total_entities_found", "total_relations_found",
         "entities_after_truncation", "relations_after_truncation",
         "merged_chunks_count", "final_chunks_count",
+        "available_chunk_tokens",
     }
     assert set(rd["metadata"]["keywords"]) == {"high_level", "low_level"}
 
