@@ -602,15 +602,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_canonical_map"] = kg_canonical_map
 
     def kg_query_context(spark, sf):
+        """The FULL 4-stage hybrid query composite, flattened to
+        (section, ix, a, b, c) rows — every stage's output is
+        value-hash-checked against golden.golden_kg_query_context's
+        sequential pandas twin (reference lightrag_search.py:930-1386)."""
+        import hashlib as _hl
+
         g = _tiny_graph_tables(spark)
         hub = g.nodes.orderBy(F.desc("mention_count"), "name").first()["name"]
         ctx = kg_query(
             spark, g, f"What is the relationship between {hub} and others?",
             QueryParams(mode="hybrid", top_k=10),
         )
+
+        def h(s: str) -> str:
+            return _hl.md5(s.encode("utf-8")).hexdigest()
+
+        rows = []
+        for i, e in enumerate(ctx.entities):
+            rows.append(("entity", i, e["entity"], e["type"], h(e["description"])))
+        for i, r in enumerate(ctx.relations):
+            rows.append(
+                ("relation", i, r["entity1"], r["entity2"], h(r["description"]))
+            )
+        for i, c in enumerate(ctx.chunks):
+            rows.append(
+                ("chunk", i, str(c["reference_id"]), c["chunk_id"], h(c["content"]))
+            )
+        for r in ctx.references:
+            rows.append(
+                ("reference", r["reference_id"], r["file_path"],
+                 r["last_modified"].isoformat(), "")
+            )
+        for k in sorted(ctx.processing_info):
+            rows.append(("info", 0, k, str(ctx.processing_info[k]), ""))
         return spark.createDataFrame(
-            [(e["entity"], e["type"]) for e in ctx.entities],
-            "entity string, type string",
+            rows, "section string, ix int, a string, b string, c string"
         )
     q["kg_query_context"] = kg_query_context
 
@@ -715,6 +742,11 @@ def _golden_kg_oracles() -> dict[str, str]:
     out["kg_canonical_map"] = _values_oracle(
         golden.golden_kg_canonical_map(_GOLDEN_N_DOCS),
         {"name": "VARCHAR", "canonical_name": "VARCHAR"},
+    )
+    out["kg_query_context"] = _values_oracle(
+        golden.golden_kg_query_context(_GOLDEN_N_DOCS),
+        {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR", "b": "VARCHAR",
+         "c": "VARCHAR"},
     )
     return out
 

@@ -236,3 +236,360 @@ def precision_recall(
         return (0.0, 0.0)
     tp = len(p & g)
     return (tp / len(p), tp / len(g))
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Sequential twin of the FULL 4-stage kg_query pipeline (the composite
+# the driver checks as kg_query_context). Mirrors
+# plans/query_pipeline.py:kg_query stage by stage in pure python over
+# the golden graph twins — reference lightrag_search.py:930-1386.
+# ──────────────────────────────────────────────────────────────────────
+
+
+def _spark_to_json(d: dict) -> str:
+    """Twin of F.to_json(struct(...)): compact separators, raw UTF-8."""
+    import json
+
+    return json.dumps(d, ensure_ascii=False, separators=(",", ":"))
+
+
+def _cosine(a: list[float], b: list[float]) -> float:
+    """Twin of functions/vectors.py cosine: sequential folds, then
+    norm(a)*norm(b) denominator — bit-identical float64 op order."""
+    denom = _fold_norm(a) * _fold_norm(b)
+    return 0.0 if denom == 0.0 else _fold_dot(a, b) / denom
+
+
+def golden_kg_graph(n_rows: int, seed: int = 42) -> dict:
+    """Full-attribute graph twins of build_nodes/build_edges/
+    finalize_graph (operators/graph_build.py): nodes with bounded
+    description/source_chunk_ids samples + exact counts, undirected
+    summed edges, degrees. The per-salt capped samples compose to the
+    global smallest-K, so the twin takes the global smallest-K
+    directly."""
+    SEP = "<SEP>"
+    MAX_CHUNKS, MAX_DESCS = 64, 16
+    docs = golden_documents(n_rows, seed)
+    chunks = []  # (chunk_id, content, file_path)
+    mentions = []  # dicts + chunk_id
+    for url, content in zip(docs["url"], docs["content"]):
+        for c in chunk_text(content):
+            cid = "chunk-" + _md5(c["content"])
+            chunks.append({"chunk_id": cid, "content": c["content"],
+                           "file_path": url})
+            for t in extract_triples(c["content"],
+                                     is_first_chunk=(c["chunk_ix"] == 0)):
+                mentions.append({"chunk_id": cid, **t})
+
+    nodes: dict[str, dict] = {}
+    for m in mentions:
+        for name, typ in ((m["subj"], m["subj_type"]), (m["obj"], m["obj_type"])):
+            n = nodes.setdefault(
+                name, {"types": set(), "descs": set(), "chunks": set(),
+                       "mention_count": 0}
+            )
+            n["types"].add(typ)
+            n["descs"].add(m["description"])
+            n["chunks"].add(m["chunk_id"])
+            n["mention_count"] += 1
+
+    edges: dict[tuple[str, str], dict] = {}
+    for m in mentions:
+        key = (min(m["subj"], m["obj"]), max(m["subj"], m["obj"]))
+        e = edges.setdefault(
+            key, {"weight": 0.0, "preds": set(), "descs": set(), "chunks": set()}
+        )
+        e["weight"] += m["weight"]
+        e["preds"].add(m["pred"])
+        e["descs"].add(m["description"])
+        e["chunks"].add(m["chunk_id"])
+
+    deg: dict[str, int] = {}
+    for s, t in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[t] = deg.get(t, 0) + 1
+
+    node_rows = {
+        name: {
+            "name": name,
+            "type": min(n["types"]),
+            "description": SEP.join(sorted(n["descs"])[:MAX_DESCS]),
+            "source_chunk_ids": sorted(n["chunks"])[:MAX_CHUNKS],
+            "mention_count": n["mention_count"],
+            "degree": deg.get(name, 0),
+        }
+        for name, n in nodes.items()
+    }
+    edge_rows = {
+        (s, t): {
+            "src": s, "tgt": t,
+            "weight": e["weight"],
+            "keywords": SEP.join(sorted(e["preds"])),
+            "description": SEP.join(sorted(e["descs"])[:MAX_DESCS]),
+            "source_chunk_ids": sorted(e["chunks"])[:MAX_CHUNKS],
+            "combined_degree": deg.get(s, 0) + deg.get(t, 0),
+        }
+        for (s, t), e in edges.items()
+    }
+    # path properties: url → warc_ts (P12 last_modified)
+    path_props = {u: ts for u, ts in zip(docs["url"], docs["warc_ts"])}
+    return {"nodes": node_rows, "edges": edge_rows, "chunks": chunks,
+            "path_props": path_props}
+
+
+def _round_robin(branches: list[list[dict]], key_fn) -> list[dict]:
+    """Twin of operators/merge.py round_robin_merge over pre-ranked
+    branch lists: interleave = pos * n + branch, first occurrence per
+    key wins, dense merge_ix in interleave order."""
+    n = len(branches)
+    tagged = []
+    for b_ix, rows in enumerate(branches):
+        for pos, r in enumerate(rows):
+            tagged.append((pos * n + b_ix, r))
+    tagged.sort(key=lambda t: t[0])
+    seen, out = set(), []
+    for _, r in tagged:
+        k = key_fn(r)
+        if k in seen:
+            continue
+        seen.add(k)
+        r = dict(r)
+        r["merge_ix"] = len(out)
+        out.append(r)
+    return out
+
+
+def _truncate(rows: list[dict], text_fn, budget: int) -> list[dict]:
+    """Twin of truncate_by_token_budget (keep_at_least_one=True)."""
+    from .tokenizer import count_tokens
+
+    out, cum = [], 0
+    for i, r in enumerate(rows):
+        cum += count_tokens(text_fn(r))
+        if cum <= budget or i == 0:
+            out.append(r)
+    return out
+
+
+def _gather_chunks(selected: list[dict], member_key: str) -> list[dict]:
+    """Twin of gather_chunks_from_members: explode provenance,
+    occurrence = #selected members referencing the chunk, first member
+    (min merge_ix) wins the chunk."""
+    exploded = [
+        {"member": r[member_key], "merge_ix": r["merge_ix"], "chunk_id": cid}
+        for r in selected
+        for cid in r["source_chunk_ids"]
+    ]
+    occ: dict[str, int] = {}
+    for e in exploded:
+        occ[e["chunk_id"]] = occ.get(e["chunk_id"], 0) + 1
+    best: dict[str, dict] = {}
+    for e in exploded:
+        cur = best.get(e["chunk_id"])
+        if cur is None or e["merge_ix"] < cur["merge_ix"]:
+            best[e["chunk_id"]] = e
+    return [
+        {**e, "occurrence": occ[e["chunk_id"]]} for e in best.values()
+    ]
+
+
+def golden_kg_query_context(
+    n_rows: int = 120, seed: int = 42, top_k: int = 10
+) -> pd.DataFrame:
+    """Sequential twin of the hybrid kg_query composite the driver's
+    kg_query_context entry runs: stage 1 search (entity + relation
+    vector top-k with cross-derivation), stage 2 token truncation,
+    stage 3 chunk gather/polling/merge + the reference Q14 budget,
+    stage 4 references + final context rows. Emits the same
+    (section, ix, a, b, c) rows as the Spark entry."""
+    import math
+
+    from .functions.embedding import embed_text
+    from .operators.context_ops import build_rag_prompt
+    from .plans.query_pipeline import (
+        KG_QUERY_CONTEXT_TEMPLATE,
+        _json_lines,
+        extract_keywords,
+    )
+    from .tokenizer import count_tokens
+
+    MAX_ENTITY_TOKENS, MAX_RELATION_TOKENS = 100, 800
+    MAX_TOTAL_TOKENS, RELATED_CHUNKS = 5000, 5
+
+    g = golden_kg_graph(n_rows, seed)
+    nodes, edges = g["nodes"], g["edges"]
+    hub = sorted(
+        nodes.values(), key=lambda n: (-n["mention_count"], n["name"])
+    )[0]["name"]
+    query = f"What is the relationship between {hub} and others?"
+    keywords = extract_keywords(query)
+    qvec = [float(x) for x in embed_text(" ".join(keywords) if keywords else query)]
+
+    ent_emb = {
+        name: [float(x) for x in embed_text("\n".join([name, n["description"]]))]
+        for name, n in nodes.items()
+    }
+    rel_emb = {
+        key: [float(x) for x in embed_text("\t".join(key))] for key in edges
+    }
+
+    # ── stage 1: entity / relation top-k + cross-derivation ──────────
+    ent_scores = {n: _cosine(v, qvec) for n, v in ent_emb.items()}
+    loc = sorted(nodes.values(), key=lambda n: (-ent_scores[n["name"]], n["name"]))[:top_k]
+    loc = [{**n, "vscore": ent_scores[n["name"]]} for n in loc]
+
+    rel_scores = {k: _cosine(v, qvec) for k, v in rel_emb.items()}
+    glob = sorted(edges.values(), key=lambda e: (-rel_scores[(e["src"], e["tgt"])], e["src"]))[:top_k]
+    glob = [{**e, "vscore": rel_scores[(e["src"], e["tgt"])]} for e in glob]
+
+    # endpoint entities of top relations (max vscore per name)
+    ep_score: dict[str, float] = {}
+    for e in glob:
+        for name in (e["src"], e["tgt"]):
+            ep_score[name] = max(ep_score.get(name, float("-inf")), e["vscore"])
+    ep = [
+        {**nodes[name], "vscore": s}
+        for name, s in ep_score.items() if name in nodes
+    ]
+    ep.sort(key=lambda r: (-r["vscore"], r["name"]))
+    entities = _round_robin([loc, ep], key_fn=lambda r: r["name"])
+    n_entities_found = len(entities)
+
+    # edges incident to top local entities (max entity vscore per edge)
+    inc_score: dict[tuple, float] = {}
+    for r in loc:
+        for key, e in edges.items():
+            if r["name"] in key:
+                inc_score[key] = max(inc_score.get(key, float("-inf")), r["vscore"])
+    inc = [{**edges[k], "vscore": s} for k, s in inc_score.items()]
+    inc.sort(key=lambda r: (-r["vscore"], -r["weight"], r["src"], r["tgt"]))
+    relations = _round_robin(
+        [glob, inc], key_fn=lambda r: (r["src"], r["tgt"])
+    )
+    n_relations_found = len(relations)
+
+    # ── stage 2: token truncation ─────────────────────────────────────
+    entities = _truncate(
+        entities,
+        lambda r: _spark_to_json(
+            {"entity": r["name"], "type": r["type"],
+             "description": r["description"]}
+        ),
+        MAX_ENTITY_TOKENS,
+    )
+    relations = _truncate(
+        relations,
+        lambda r: _spark_to_json(
+            {"entity1": r["src"], "entity2": r["tgt"],
+             "description": r["description"]}
+        ),
+        MAX_RELATION_TOKENS,
+    )
+    ctx_entities = [
+        {"entity": r["name"], "type": r["type"], "description": r["description"]}
+        for r in entities
+    ]
+    ctx_relations = [
+        {"entity1": r["src"], "entity2": r["tgt"], "description": r["description"]}
+        for r in relations
+    ]
+
+    # ── stage 3: chunk gather / polling / merge / Q14 budget ─────────
+    ent_chunks = _gather_chunks(entities, "name")
+    r_total = len(entities)
+    budget_total = RELATED_CHUNKS * r_total
+    tri = r_total * (r_total + 1) / 2.0
+    quota = {
+        r["name"]: max(
+            1, int(math.floor(budget_total * (r_total - r["merge_ix"]) / tri + 0.5))
+        )
+        for r in entities
+    }
+    by_member: dict[str, list[dict]] = {}
+    for e in ent_chunks:
+        by_member.setdefault(e["member"], []).append(e)
+    picked = []
+    for member, rows in by_member.items():
+        rows.sort(key=lambda r: (-r["occurrence"], r["chunk_id"]))
+        picked.extend(rows[: quota.get(member, 0)] if member in quota else [])
+    picked.sort(key=lambda r: (-r["occurrence"], r["chunk_id"]))
+
+    rel_sel = [
+        {**r, "member_name": f"{r['src']}|{r['tgt']}"} for r in relations
+    ]
+    rel_chunks = _gather_chunks(rel_sel, "member_name")
+    ent_ids = {r["chunk_id"] for r in picked}
+    rel_chunks = [r for r in rel_chunks if r["chunk_id"] not in ent_ids]
+    rel_chunks.sort(key=lambda r: (-r["occurrence"], r["chunk_id"]))
+
+    merged = _round_robin([picked, rel_chunks], key_fn=lambda r: r["chunk_id"])
+    n_merged = len(merged)
+    chunk_rows = {c["chunk_id"]: c for c in g["chunks"]}
+    merged = [
+        {**r, "content": chunk_rows[r["chunk_id"]]["content"],
+         "file_path": chunk_rows[r["chunk_id"]]["file_path"]}
+        for r in merged if r["chunk_id"] in chunk_rows
+    ]
+
+    pre_kg = KG_QUERY_CONTEXT_TEMPLATE.format(
+        entities_str=_json_lines(ctx_entities, ("entity", "type", "description")),
+        relations_str=_json_lines(
+            ctx_relations, ("entity1", "entity2", "description")
+        ),
+        text_chunks_str="",
+        reference_list_str="",
+    )
+    available = max(
+        MAX_TOTAL_TOKENS
+        - count_tokens(build_rag_prompt("", "Multiple Paragraphs", ""))
+        - count_tokens(pre_kg)
+        - count_tokens(query)
+        - 200,
+        0,
+    )
+    merged = _truncate(merged, lambda r: r["content"], available)
+
+    # ── stage 4: references + final rows ──────────────────────────────
+    refs, seen_paths = [], set()
+    for r in merged:  # first occurrence per file_path by merge_ix
+        if r["file_path"] not in seen_paths:
+            seen_paths.add(r["file_path"])
+            refs.append({"ref_ix": len(refs) + 1, "file_path": r["file_path"]})
+    # <SEP> expansion (identity for single-url webtext paths)
+    expanded, seen_exp = [], set()
+    for ref in refs:
+        for p in ref["file_path"].split("<SEP>"):
+            if p not in seen_exp:
+                seen_exp.add(p)
+                expanded.append({"ref_ix": ref["ref_ix"], "file_path": p})
+    ref_by_path = {r["file_path"]: r["ref_ix"] for r in expanded}
+
+    def ref_for(raw: str) -> int:
+        hits = [ref_by_path[p] for p in raw.split("<SEP>") if p in ref_by_path]
+        return min(hits) if hits else 0
+
+    rows = []
+    for i, e in enumerate(ctx_entities):
+        rows.append(("entity", i, e["entity"], e["type"], _md5(e["description"])))
+    for i, r in enumerate(ctx_relations):
+        rows.append(("relation", i, r["entity1"], r["entity2"],
+                     _md5(r["description"])))
+    for i, r in enumerate(merged):
+        rows.append(("chunk", i, str(ref_for(r["file_path"])), r["chunk_id"],
+                     _md5(r["content"])))
+    for r in expanded:
+        lm = g["path_props"][r["file_path"]]
+        rows.append(("reference", r["ref_ix"], r["file_path"],
+                     lm.isoformat(), ""))
+    info = {
+        "total_entities_found": n_entities_found,
+        "total_relations_found": n_relations_found,
+        "entities_after_truncation": len(ctx_entities),
+        "relations_after_truncation": len(ctx_relations),
+        "merged_chunks_count": n_merged,
+        "final_chunks_count": len(merged),
+        "available_chunk_tokens": available,
+    }
+    for k in sorted(info):
+        rows.append(("info", 0, k, str(info[k]), ""))
+    return pd.DataFrame(rows, columns=["section", "ix", "a", "b", "c"])

@@ -238,3 +238,24 @@ def test_hybrid_cross_derivation(spark, indexed):
     ctx_global = kg_query(spark, g, f"About {hub}",
                           QueryParams(mode="global", top_k=6, max_entity_tokens=400))
     assert ctx_global.entities, "global mode derives endpoint entities"
+
+
+def test_query_composite_matches_sequential_twin(spark):
+    """The driver's kg_query_context entry (full 4-stage hybrid query)
+    must match golden.golden_kg_query_context — the independent
+    sequential pandas twin — row for row (the CI guard behind the
+    CORRECTNESS oracle entry)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entrymod
+    from graphrag_kb_server_spark.golden import golden_kg_query_context
+
+    spark_rows = sorted(
+        tuple(r) for r in entrymod.queries()["kg_query_context"](spark, "").collect()
+    )
+    golden_rows = sorted(
+        tuple(r) for r in golden_kg_query_context(120).itertuples(index=False)
+    )
+    assert spark_rows == golden_rows
