@@ -10,7 +10,15 @@ Headline #1 is the north-rule metric: end-to-end KG indexing throughput
 size scales with the sf dir (sf0.1 → 5000 docs, BENCH_DOCS env
 overrides). Remaining queries are the oracle-checked operator suite
 over the driver tables, each forced through a full evaluation with the
-noop sink (no driver collect).
+noop sink (no driver collect), plus the ONLINE query path (kg_query
+hybrid/mix + answer_query — the reference's primary serving surface,
+lightrag_search.py:330-597) over a persisted index of the same corpus.
+
+Variance control (VERDICT r2): every timing is the MIN of
+$BENCH_REPEATS runs (default 2) — the hypervisor on this box shows
+0-55%% CPU steal, so single-shot numbers are not comparable across
+rounds; the JSON records every repeat plus the run-level host steal%%
+so regressions can be told apart from noise.
 """
 
 from __future__ import annotations
@@ -57,6 +65,15 @@ def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_jiffies() -> dict[str, int]:
+    """Aggregate /proc/stat counters — steal% tells hypervisor noise
+    apart from real regressions (same methodology as BENCH_SCALING)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:]))
+    return {"steal": vals[7], "total": sum(vals)}
+
+
 def _ensure_corpus(spark, n_docs: int, sent_lo: int = 24, sent_hi: int = 72) -> str:
     """Bench corpus: Common-Crawl-realistic page sizes (~4 KB of text),
     same deterministic generator as the fixtures. Written once, reused
@@ -72,18 +89,30 @@ def _ensure_corpus(spark, n_docs: int, sent_lo: int = 24, sent_hi: int = 72) -> 
     return path
 
 
-def bench_kg_index(spark, n_docs: int) -> tuple[float, float]:
+def _ensure_index(spark, n_docs: int) -> str:
+    """Persisted full index of the bench corpus (cached across runs) —
+    the graph the online-query-path benchmarks serve from. Build time
+    is NOT part of any query timing (kg_index_e2e measures indexing)."""
+    from graphrag_kb_server_spark.plans.index_pipeline import run_index
+
+    out = f"{Path(__file__).resolve().parent}/.data/bench_index_{n_docs}"
+    if not os.path.exists(f"{out}/doc_status/_SUCCESS"):
+        pages = spark.read.parquet(_ensure_corpus(spark, n_docs))
+        run_index(spark, pages, out)
+    return out
+
+
+def bench_kg_index(spark, n_docs: int) -> float:
     """End-to-end KG construction (the north-rule chain: extract text →
     chunk → triple-extract → merge → link → canonicalize → degrees),
     evaluated via the noop sink. mentions is checkpointed ONCE — the
     same staged materialization run_index does with its parquet stage
     boundaries — so the nodes and edges branches don't recompute the
-    Python extraction chain. Returns (seconds, docs_per_sec)."""
+    Python extraction chain. Returns seconds."""
     from graphrag_kb_server_spark.operators.linking import (
         canonical_map,
         canonicalize_graph,
     )
-
     from graphrag_kb_server_spark.plans.index_pipeline import ensure_parallelism
 
     corpus_path = _ensure_corpus(spark, n_docs)
@@ -103,8 +132,59 @@ def bench_kg_index(spark, n_docs: int) -> tuple[float, float]:
     nodes, edges = finalize_graph(nodes_c, edges_c.localCheckpoint(eager=True))
     _noop_write(nodes)
     _noop_write(edges)
-    secs = time.time() - t0
-    return secs, n_docs / secs
+    return time.time() - t0
+
+
+def _graph_tables(spark, out: str):
+    from graphrag_kb_server_spark.plans.query_pipeline import GraphTables
+
+    rd = lambda n: spark.read.parquet(f"{out}/{n}")
+    docs = rd("documents")
+    return GraphTables(
+        nodes=rd("nodes"),
+        edges=rd("edges"),
+        chunks=rd("chunks"),
+        entity_embeddings=rd("entity_embeddings"),
+        relation_embeddings=rd("relation_embeddings"),
+        chunk_embeddings=rd("chunk_embeddings"),
+        path_properties=docs.select(
+            F.col("url").alias("file_path"),
+            F.col("warc_ts").alias("last_modified"),
+        ).dropDuplicates(["file_path"]),
+    )
+
+
+def bench_query_path(spark, n_docs: int, repeats: int) -> dict[str, list[float]]:
+    """Online-surface latency: kg_query (hybrid + mix) and answer_query
+    end-to-end — stage 1-4 including the driver-side context collects,
+    exactly what a serving request pays. A fresh query string per repeat
+    defeats the LLM cache so every repeat is a cold answer."""
+    from graphrag_kb_server_spark.plans.query_pipeline import (
+        QueryParams,
+        answer_query,
+        kg_query,
+    )
+
+    g = _graph_tables(spark, _ensure_index(spark, n_docs))
+    hub = g.nodes.orderBy(F.desc("mention_count"), "name").first()["name"]
+    out: dict[str, list[float]] = {
+        "kg_query_hybrid": [], "kg_query_mix": [], "kg_answer_hybrid": [],
+    }
+    for i in range(repeats):
+        q = f"What is the relationship between {hub} and others? (run {i})"
+        t = time.time()
+        kg_query(spark, g, q, QueryParams(mode="hybrid", top_k=60))
+        out["kg_query_hybrid"].append(time.time() - t)
+        t = time.time()
+        kg_query(spark, g, q, QueryParams(mode="mix", top_k=60))
+        out["kg_query_mix"].append(time.time() - t)
+        t = time.time()
+        answer_query(
+            spark, g, q, QueryParams(mode="hybrid", top_k=60),
+            cache_path=f"/tmp/bench_llm_cache_{os.getpid()}",
+        )
+        out["kg_answer_hybrid"].append(time.time() - t)
+    return out
 
 
 def main() -> None:
@@ -112,22 +192,36 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     n_docs = int(os.environ.get("BENCH_DOCS", "5000" if sf >= 0.1 else "1000"))
+    repeats = max(int(os.environ.get("BENCH_REPEATS", "2")), 1)
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
 
-    timings: dict[str, float] = {}
-
+    j0 = _cpu_jiffies()
     t0 = time.time()
-    idx_secs, docs_per_sec = bench_kg_index(spark, n_docs)
-    timings["kg_index_e2e"] = round(idx_secs, 3)
+
+    repeat_times: dict[str, list[float]] = {}
+
+    idx_runs = [bench_kg_index(spark, n_docs) for _ in range(repeats)]
+    repeat_times["kg_index_e2e"] = idx_runs
 
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
-        t1 = time.time()
-        _noop_write(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t1, 3)
+        runs = []
+        for _ in range(repeats):
+            t1 = time.time()
+            _noop_write(qs[name](spark, sf_dir))
+            runs.append(time.time() - t1)
+        repeat_times[name] = runs
+
+    repeat_times.update(bench_query_path(spark, n_docs, repeats))
 
     total = round(time.time() - t0, 3)
+    j1 = _cpu_jiffies()
+    steal_pct = round(
+        100.0 * (j1["steal"] - j0["steal"]) / max(j1["total"] - j0["total"], 1), 1
+    )
+
+    timings = {k: round(min(v), 3) for k, v in repeat_times.items()}
     print(
         json.dumps(
             {
@@ -135,10 +229,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "repeats": {
+                    k: [round(x, 3) for x in v] for k, v in repeat_times.items()
+                },
+                "aggregation": f"min of {repeats} repeats",
+                "host_steal_pct": steal_pct,
                 "sf": sf,
                 "cpus": cpus,
                 "index_docs": n_docs,
-                "index_docs_per_sec": round(docs_per_sec, 2),
+                "index_docs_per_sec": round(n_docs / min(idx_runs), 2),
             }
         )
     )
