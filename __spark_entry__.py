@@ -1206,12 +1206,18 @@ WITH RECURSIVE
 sh AS (SELECT DISTINCT doc_id AS id, unnest({shingle_sql}) AS s FROM documents),
 hx AS (SELECT id, md5(s) || md5('1:' || s) AS h FROM sh),
 sig AS (SELECT id, {mins16} FROM hx GROUP BY id),
-bands AS (SELECT id, unnest([{band_keys}]) AS band FROM sig),
+bands AS MATERIALIZED (SELECT id, unnest([{band_keys}]) AS band FROM sig),
+cnt AS (
+  SELECT band, CAST(ceil(count(*) / 256.0) AS BIGINT) AS nsub
+  FROM bands GROUP BY band HAVING count(*) > 256
+),
 split AS (
-  SELECT id, band || '#' || CAST(CAST(floor(
-    (row_number() OVER (PARTITION BY band ORDER BY id) - 1) / 256
-  ) AS BIGINT) AS VARCHAR) AS band2
-  FROM bands
+  SELECT b.id, b.band || '#' || CAST(
+    CASE WHEN c.nsub IS NULL THEN 0
+         ELSE CAST(concat('0x', substr(md5(CAST(b.id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % c.nsub END
+    AS VARCHAR) AS band2
+  FROM bands b LEFT JOIN cnt c USING (band)
 ),
 pairs AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b

@@ -181,11 +181,20 @@ def golden_kg_canonical_map(n_rows: int, seed: int = 42) -> pd.DataFrame:
             key = f"{b}|{sig[2 * b]}|{sig[2 * b + 1]}"
             buckets.setdefault(key, []).append(name)
 
+    # oversized buckets split by md5-prefix hash-mod, exactly like
+    # dedup.split_oversized_buckets (never dropped)
     pairs: set[tuple[str, str]] = set()
     for key, members in buckets.items():
-        members = sorted(members)
-        for sub_start in range(0, len(members), 64):  # split, never drop
-            sub = members[sub_start : sub_start + 64]
+        if len(members) > 64:
+            nsub = -(-len(members) // 64)
+            groups: dict[int, list[str]] = {}
+            for name in members:
+                groups.setdefault(int(_md5(name)[:8], 16) % nsub, []).append(name)
+            subs = list(groups.values())
+        else:
+            subs = [members]
+        for sub in subs:
+            sub = sorted(sub)
             for i, a in enumerate(sub):
                 for b in sub[i + 1 :]:
                     pairs.add((a, b))

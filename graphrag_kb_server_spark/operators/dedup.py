@@ -16,9 +16,9 @@ DataFrame programs; the only Python is the (optional) embedding UDF.
 
 Skew guard shared by every blocking strategy:
 ``split_oversized_buckets`` re-keys any bucket over its cap into
-bounded deterministic sub-buckets — a degenerate bucket is split,
-never silently dropped — and ``oversized_bucket_stats`` surfaces the
-split counts for the metrics sidecar.
+hash-derived sub-buckets (expected size ≤ cap) — a degenerate bucket
+is split, never silently dropped — and ``oversized_bucket_stats``
+surfaces the split counts for the metrics sidecar.
 
 Keep-rule: the kept row per duplicate group is the explicit min of a
 deterministic ordering column — never implicit row order.
@@ -94,21 +94,44 @@ def split_oversized_buckets(
     bucketed: DataFrame, bucket_col: str, id_col: str, max_bucket: int
 ) -> DataFrame:
     """LSH skew guard: re-key any bucket with more than ``max_bucket``
-    members into contiguous sub-buckets of ≤ ``max_bucket`` (deterministic
-    row_number-by-id split). Pairs are then formed within sub-buckets —
-    a degenerate bucket (stopword shingles, all-zero simhash blocks) is
-    SPLIT, never silently dropped: cost stays O(buckets · max_bucket²)
-    while every member keeps a chance to pair. Cross-sub-bucket pairs in
-    a mega-bucket are the (documented) recall trade for bounded cost;
-    at 100 TB a mega-bucket is by construction low-signal (its key
-    carries no discriminative information). One shuffle (the window) —
-    cheaper than the old count-groupBy + join-back, which shuffled the
-    bucketed rows twice and then DROPPED the oversized buckets. Use
+    members into ``ceil(n/max_bucket)`` hash-derived sub-buckets
+    (``int(md5(id)[:8], 16) % nsub``). Pairs are then formed within
+    sub-buckets — a degenerate bucket (stopword shingles, all-zero
+    simhash blocks) is SPLIT, never silently dropped: expected cost
+    stays O(buckets · max_bucket²) while every member keeps a chance
+    to pair. Cross-sub-bucket pairs in a mega-bucket are the
+    (documented) recall trade for bounded cost; at 100 TB a mega-bucket
+    is by construction low-signal (its key carries no discriminative
+    information).
+
+    Skew-safe by construction: the big side never shuffles — the only
+    aggregation is a map-side-combined count per bucket, filtered to the
+    (few) oversized keys and broadcast back, and the sub-bucket id is a
+    per-row hash, so a mega-bucket never lands in a single task the way
+    a row_number window sort would. The trade is exact ≤max_bucket
+    sub-sizes for EXPECTED sizes (hash-mod balance). Use
     ``oversized_bucket_stats`` to surface how many buckets were split."""
-    w = Window.partitionBy(bucket_col).orderBy(id_col)
-    sub = F.floor((F.row_number().over(w) - 1) / max_bucket)
-    return bucketed.withColumn(
-        bucket_col, F.concat_ws("#", F.col(bucket_col), sub.cast("string"))
+    counts = (
+        bucketed.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .select(
+            bucket_col,
+            F.ceil(F.col("_n") / F.lit(max_bucket)).cast("long").alias("_nsub"),
+        )
+    )
+    sub = F.when(F.col("_nsub").isNull(), F.lit(0).cast("long")).otherwise(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % F.col("_nsub")
+    )
+    return (
+        bucketed.join(F.broadcast(counts), bucket_col, "left")
+        .withColumn(
+            bucket_col, F.concat_ws("#", F.col(bucket_col), sub.cast("string"))
+        )
+        .drop("_nsub")
     )
 
 

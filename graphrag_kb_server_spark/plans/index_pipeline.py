@@ -117,13 +117,25 @@ def run_index(
         the pipeline's read volume at 100 TB)."""
         t0 = time.time()
         obs = Observation(f"stage:{name}")
-        _write(df.observe(obs, F.count(F.lit(1)).alias("rows")), f"{out_dir}/{name}", partition_by)
+        path = f"{out_dir}/{name}"
+        _write(df.observe(obs, F.count(F.lit(1)).alias("rows")), path, partition_by)
+        # Written-file layout from the filesystem, NOT df.rdd: converting
+        # an AQE plan to an RDD can finalize/re-execute its shuffle stages
+        # (a silent second pass of the UDF work the Observation exists to
+        # avoid), and the pre-write plan partitioning isn't the on-disk
+        # layout anyway.
+        n_files = sum(
+            1
+            for _dir, _sub, files in os.walk(path)
+            for fname in files
+            if fname.startswith("part-")
+        )
         res.metrics.append(
             {
                 "stage": name,
                 "skipped": False,
                 "rows": obs.get["rows"],
-                "partitions": df.rdd.getNumPartitions(),
+                "partitions": n_files,
                 "seconds": round(time.time() - t0, 3),
             }
         )

@@ -68,10 +68,13 @@ def test_ngram_jaccard(spark):
 
 
 def test_mega_bucket_split_not_dropped(spark):
-    """LSH skew guard: a bucket over max_bucket is SPLIT into bounded
-    sub-buckets — members still pair within sub-buckets (the old
-    count-and-drop silently lost every duplicate in a mega-bucket) —
-    and the oversize is reported by the stats helper."""
+    """LSH skew guard: a bucket over max_bucket is SPLIT into
+    hash-derived sub-buckets — members still pair within sub-buckets
+    (the old count-and-drop silently lost every duplicate in a
+    mega-bucket), the pair set matches the md5-prefix-mod mirror
+    exactly, and the oversize is reported by the stats helper."""
+    import hashlib
+
     from graphrag_kb_server_spark.operators.dedup import oversized_bucket_stats
 
     # 12 identical docs: every band bucket has 12 members > max_bucket=4
@@ -81,11 +84,18 @@ def test_mega_bucket_split_not_dropped(spark):
         docs, "text", "id", num_hashes=16, bands=8, max_bucket=4
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
-    # sub-buckets of [0..3],[4..7],[8..11] → within-group pairs survive
     assert got, "mega-bucket produced pairs instead of being dropped"
-    assert (0, 1) in got and (4, 5) in got and (8, 9) in got
-    # bounded: nothing pairs across sub-buckets
-    assert (0, 11) not in got
+    # the split is the documented hash-mod scheme: nsub = ceil(12/4) = 3,
+    # sub(id) = int(md5(str(id))[:8], 16) % 3 — identical docs share every
+    # band key, so the pair set is exactly the within-sub-bucket pairs
+    sub = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 3
+        for i in range(12)
+    }
+    expected = {
+        (a, b) for a in range(12) for b in range(a + 1, 12) if sub[a] == sub[b]
+    }
+    assert got == expected
     # and the skew is visible in metrics
     from pyspark.sql import functions as F
     from graphrag_kb_server_spark.functions import hashing as H
