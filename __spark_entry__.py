@@ -34,6 +34,7 @@ from graphrag_kb_server_spark.operators.communities import label_propagation
 from graphrag_kb_server_spark.operators.components import (
     component_sizes,
     connected_components,
+    connected_components_star,
 )
 from graphrag_kb_server_spark.operators.dedup import (
     embedding_near_dup_pairs,
@@ -652,6 +653,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return component_sizes(connected_components(edges))
     q["g3_components"] = g3_components
 
+    def g3_components_star(spark, sf):
+        # same contract via the alternating large-star/small-star
+        # formulation (Kiveris et al.) — the high-diameter scale path;
+        # oracle-checked against the identical recursive-CTE SQL
+        li = _t(spark, sf, "lineitem")
+        edges = li.where("l_orderkey % 97 = 0").select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("tgt"),
+        ).distinct()
+        return component_sizes(connected_components_star(edges))
+    q["g3_components_star"] = g3_components_star
+
     def g2_lpa_communities(spark, sf):
         # deterministic sparse sample (a LIMIT would be row-order
         # dependent: round-1 runs recorded 199 vs 200 output rows)
@@ -1190,6 +1203,8 @@ cc AS (
 cm AS (SELECT node, min(comp) AS component FROM cc GROUP BY node)
 SELECT component, count(*) AS size FROM cm GROUP BY component
 """
+    # identical ground truth for the star-alternation formulation
+    o["g3_components_star"] = o["g3_components"]
 
     # minhash_lsh_dedup defaults: 16 hashes (2 md5s/shingle), 8 bands ×
     # 2 rows, word-3-gram shingles, oversized band buckets split at 256.

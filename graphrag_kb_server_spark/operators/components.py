@@ -3,10 +3,19 @@
 Reference semantics: ``nx.connected_components`` sorted by size
 (/root/reference/graphrag_kb_server/service/lightrag/lightrag_graph_support.py:151-164;
 also the LCC step inside clustering at lightrag_clustering.py:236-247).
-networkx is driver-bound; at web scale we use the alternating
-large-star/small-star algorithm (Kiveris et al., "Connected Components
-in MapReduce and Beyond", SoCC'14) — each iteration is two hash
-joins + aggregations, converging in O(log^2 n) rounds.
+networkx is driver-bound; at web scale two formulations are provided:
+
+- ``connected_components`` — min-label propagation with pointer
+  jumping folded into each round (O(log d) rounds on diameter d).
+  The default: entity-linking similarity graphs are short-diameter,
+  and each round is one join + one agg + one self-join.
+- ``connected_components_star`` — the alternating large-star/
+  small-star algorithm (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14), converging in O(log² n) rounds
+  independent of diameter. The EDGE SET shrinks toward stars as it
+  runs (label propagation keeps a full neighbor join every round),
+  which is the better shape for high-diameter / huge-component
+  graphs at 100 TB.
 
 Implementation notes for Spark:
 - labels start as each node's own id (min-string semantics: component
@@ -48,9 +57,10 @@ def connected_components(
     # label(node) = min neighbor-or-self, iterated to fixpoint.
     # This is the simple "min-label propagation" formulation: each round
     # label_new(v) = min(label(v), min over neighbors u of label(u)).
-    # Rounds = graph diameter; for the short-diameter similarity graphs
-    # of entity linking this beats the constant-factor-heavier
-    # large-star/small-star; both are provided (see _large_small_star).
+    # Rounds ≈ log2(diameter) with the pointer jump below; for the
+    # short-diameter similarity graphs of entity linking this beats the
+    # constant-factor-heavier star alternation — for high-diameter
+    # graphs use connected_components_star.
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -92,6 +102,92 @@ def connected_components(
             break
 
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "tgt",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """edges(src, tgt) → (node STRING, component STRING) via alternating
+    large-star / small-star (Kiveris et al., SoCC'14). Same contract as
+    ``connected_components`` (component = min member, string order).
+
+    Why this shape at scale: every round REWRITES the edge set toward
+    star graphs (child → component-min), so the data volume shrinks as
+    it converges, rounds are O(log² n) regardless of diameter, and each
+    round is two groupBy-min + joins on the current (shrinking) edge
+    set. Convergence = the distinct edge set reaches a fixpoint,
+    detected with a (count, xxhash64-xor) fingerprint — one aggregate
+    action per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(cur: DataFrame) -> DataFrame:
+        # Γ(u) over both orientations; connect strictly-larger neighbors
+        # to m = min(Γ(u) ∪ {u})
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("_mb"))
+        m = F.least(F.col("_mb"), F.col("a"))
+        return (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(cur: DataFrame) -> DataFrame:
+        # orient child → parent (a > b), connect every neighbor and u
+        # itself to m = min(Γ(u) ∪ {u}) = min neighbor (all are < u)
+        ori = cur.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        mins = ori.groupBy("a").agg(F.min("b").alias("_m"))
+        rewired = ori.join(mins, "a").select(
+            F.col("b").alias("a"), F.col("_m").alias("b")
+        )
+        self_edges = mins.select("a", F.col("_m").alias("b"))
+        return (
+            rewired.unionByName(self_edges)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    prev_fp = None
+    for _ in range(max_iterations):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # bit_xor, not sum: overflow-free under ANSI mode, and order-
+        # independent over the (distinct) edge set
+        fp = tuple(
+            e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+            ).first()
+        )
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # stars: every edge is (child, component-min); minima label themselves
+    nodes = edges.select(F.col(src).alias("node")).unionByName(
+        edges.select(F.col(dst).alias("node"))
+    ).where(F.col("node").isNotNull()).distinct()
+    labels = e.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("component")
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
 
 
 def component_sizes(components: DataFrame) -> DataFrame:

@@ -15,6 +15,7 @@ from graphrag_kb_server_spark.operators.communities import (
 from graphrag_kb_server_spark.operators.components import (
     component_sizes,
     connected_components,
+    connected_components_star,
 )
 from graphrag_kb_server_spark.operators.walks import (
     panther_similarity,
@@ -52,6 +53,35 @@ def test_connected_components_long_chain(spark):
     comp = connected_components(_edges(spark, pairs))
     assert comp.select("component").distinct().count() == 1
     assert comp.count() == 41
+
+
+def test_connected_components_star_matches_networkx(spark):
+    """large-star/small-star (Kiveris et al.) produces the identical
+    (node, component=min member) labeling on mixed small components."""
+    pairs = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("g", "h"),
+             ("h", "f"), ("i", "a")]
+    comp = connected_components_star(_edges(spark, pairs)).collect()
+    got = {}
+    for r in comp:
+        got.setdefault(r["component"], set()).add(r["node"])
+    expected = {frozenset(c) for c in nx.connected_components(nx.Graph(pairs))}
+    assert {frozenset(v) for v in got.values()} == expected
+    for cid, members in got.items():
+        assert cid == min(members)
+
+
+def test_connected_components_star_long_chain(spark):
+    """The high-diameter case the star alternation exists for: a
+    60-node chain converges to one star labeled by the min node, in
+    far fewer than diameter rounds, and agrees with min-label CC."""
+    pairs = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(60)]
+    e = _edges(spark, pairs)
+    star = {(r["node"], r["component"])
+            for r in connected_components_star(e, max_iterations=12).collect()}
+    assert star == {(f"n{i:02d}", "n00") for i in range(61)}
+    label = {(r["node"], r["component"])
+             for r in connected_components(e).collect()}
+    assert star == label
 
 
 def test_degree_centrality_ranking(spark):
