@@ -203,11 +203,29 @@ class LlmCache:
     Stays a *table* (not an in-process dict) because it is the
     determinism fixture the reference relies on (kv_store_llm_response_cache).
     Writes are append + last-write-wins on read (max by written_at).
+
+    Small-file hygiene: each ``put`` appends one tiny file, so once the
+    directory holds ``compact_every`` part-files ``put`` folds it back
+    into a single last-write-wins file (``compact``). File counts stay
+    bounded at sustained QPS instead of growing one-file-per-answer.
+    Single-writer by design (the fixture contract); a shared production
+    cache would sit on a real table format's MERGE instead.
     """
 
-    def __init__(self, spark, path: str):
+    def __init__(self, spark, path: str, compact_every: int = 64):
         self.spark = spark
         self.path = path
+        self.compact_every = compact_every
+
+    def _part_files(self) -> int:
+        import os
+
+        try:
+            return sum(
+                1 for f in os.scandir(self.path) if f.name.startswith("part-")
+            )
+        except FileNotFoundError:
+            return 0
 
     def get(self, args_hash: str) -> str | None:
         import os
@@ -229,6 +247,29 @@ class LlmCache:
         ).withColumn("written_at", F.current_timestamp()).write.mode(
             "append"
         ).parquet(self.path)
+        if self.compact_every and self._part_files() >= self.compact_every:
+            self.compact()
+
+    def compact(self) -> None:
+        """Fold the append log into one file, keeping the newest row per
+        args_hash (same last-write-wins the reads apply)."""
+        import os
+        import shutil
+
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("args_hash").orderBy(F.desc("written_at"))
+        latest = (
+            self.spark.read.parquet(self.path)
+            .withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .drop("_rk")
+            .coalesce(1)
+        )
+        tmp = f"{self.path}__compact"
+        latest.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
 
 
 def answer_with_cache(

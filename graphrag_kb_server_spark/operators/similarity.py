@@ -69,6 +69,17 @@ def brute_force_topk_batch(
     )
 
 
+def auto_n_planes(n_rows: int, target_cell_rows: int) -> int:
+    """Plane count keeping the EXPECTED hyperplane cell at
+    ~``target_cell_rows`` members: ceil(log2(rows/target)), clamped to
+    [1, 28]. Mirrors embedding_near_dup_pairs' auto-sizing."""
+    import math
+
+    return min(
+        28, max(1, math.ceil(math.log2(max(n_rows, 1) / target_cell_rows)))
+    )
+
+
 def _cell_expr(vec_col_d, planes: np.ndarray) -> F.Column:
     return F.concat_ws(
         "",
@@ -99,14 +110,24 @@ def ivf_topk_batch(
     query_id_col: str,
     vec_col: str = "embedding",
     query_vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     seed: int = 42,
+    target_cell_rows: int = 4096,
 ) -> DataFrame:
     """Approximate batched top-k: both sides keyed by hyperplane-sign
     cell; candidates = same-cell rows only (2^n_planes cells). Recall
-    rises as n_planes falls; n_planes=0 degenerates to exact."""
+    rises as n_planes falls; n_planes=0 degenerates to exact.
+
+    ``n_planes=None`` auto-sizes the plane count from the corpus the
+    same way ``embedding_near_dup_pairs`` does —
+    ceil(log2(rows / target_cell_rows)), clamped to [1, 28] — so the
+    EXPECTED cell holds ~target_cell_rows candidates at any corpus
+    size instead of rows/16 with the fixed default (a per-query scan
+    bomb at web scale)."""
     dim_row = table.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
+    if n_planes is None:
+        n_planes = auto_n_planes(table.count(), target_cell_rows)
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
     t = table.select(
         F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")

@@ -76,6 +76,20 @@ def test_q17_llm_cache(spark, tmp_out):
     assert a3 != a1 or compute_args_hash("local", "q?", {"k": 1}) != h
 
 
+def test_llm_cache_compaction_bounds_files(spark, tmp_out):
+    """Sustained puts don't grow one-file-per-answer forever: at
+    compact_every part-files the cache folds into a single
+    last-write-wins file, and reads still see the newest value."""
+    cache = LlmCache(spark, f"{tmp_out}/llm_cache_c", compact_every=4)
+    for i in range(10):
+        cache.put(f"h{i % 3}", f"v{i}")
+        assert cache._part_files() <= 4
+    assert cache.get("h0") == "v9"  # newest write for h0 (i=9)
+    assert cache.get("h1") == "v7"
+    assert cache.get("h2") == "v8"
+    assert cache.get("missing") is None
+
+
 def _centrality(spark):
     return spark.createDataFrame(
         [("Artificial Intelligence", "concept", "desc", 0.9),

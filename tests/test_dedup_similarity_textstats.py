@@ -202,6 +202,28 @@ def test_ivf_topk_self_hit(spark):
     assert all(firsts[q] == q for q in firsts)  # self always in own cell
 
 
+def test_ivf_auto_planes_track_corpus_size(spark):
+    """n_planes=None sizes cells from the corpus: plane count grows
+    with rows (expected cell ≈ target_cell_rows, never rows/2^4 as the
+    fixed default would), clamps at [1, 28], and the auto-sized path
+    still returns self as its own nearest neighbour."""
+    from graphrag_kb_server_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(200, 50) == 2
+    assert auto_n_planes(3200, 50) == 6
+    assert auto_n_planes(3200 * 4, 50) == 8  # 4x corpus -> +2 planes
+    assert auto_n_planes(10, 4096) == 1  # lower clamp
+    assert auto_n_planes(2**40, 1) == 28  # upper clamp
+
+    table, _ = _emb_table(spark)
+    queries = table.limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+    out = ivf_topk_batch(
+        table, queries, 3, "vec_id", "qid", n_planes=None, target_cell_rows=8
+    ).collect()
+    firsts = {r["qid"]: r["id"] for r in out if r["rank"] == 1}
+    assert firsts and all(firsts[q] == q for q in firsts)
+
+
 def test_textstats(spark):
     df = spark.createDataFrame(
         [
