@@ -46,15 +46,17 @@ def chunk_text(
 ) -> list[dict]:
     """Pure-Python chunker shared by the engine and the golden fixtures.
 
-    Mirrors lightrag's ``chunking_by_token_size`` windowing: every start
-    in range(0, n_tokens, max-overlap) yields a window (trailing windows
-    are shorter), content is the decoded window stripped.
+    Mirrors lightrag's ``chunking_by_token_size`` windowing EXACTLY:
+    every start in range(0, n_tokens, max-overlap) yields a window
+    (content = decoded window, stripped) — including the trailing
+    overlap-only windows whose content is a suffix of the previous
+    chunk. The reference emits those (no early break in its loop), so
+    suppressing them would change chunk counts, ids and downstream
+    extraction coverage vs the reference index.
     """
     tokens = encode(content)
     step = max_token_size - overlap_token_size
     out: list[dict] = []
-    if not tokens:
-        return out
     for ix, start in enumerate(range(0, len(tokens), step)):
         window = tokens[start : start + max_token_size]
         out.append(
@@ -64,8 +66,6 @@ def chunk_text(
                 "chunk_ix": ix,
             }
         )
-        if start + max_token_size >= len(tokens):
-            break
     return out
 
 
