@@ -21,11 +21,14 @@ Implementation notes for Spark:
 - labels start as each node's own id (min-string semantics: component
   id = lexicographically smallest member — deterministic, matching the
   "stable ordering" the reference imposes on its clustering inputs).
-- every iteration ends in ``localCheckpoint(eager=True)`` to cut the
-  lineage chain (iterative DataFrame plans otherwise grow exponentially
-  in optimizer time and break at ~20 rounds).
-- convergence check is an aggregate (sum of label changes), one action
-  per round.
+- every round group ends in a LAZY ``localCheckpoint`` materialized by
+  the convergence aggregate's own job — lineage is cut (iterative
+  DataFrame plans otherwise grow exponentially in optimizer time and
+  break at ~20 rounds) without paying a separate checkpoint action.
+- convergence is checked every 2 rounds; a converged labeling is a
+  fixpoint of the update rule so the extra round is the identity —
+  same results, ~4x fewer driver round-trips than
+  eager-checkpoint-plus-check-per-round.
 """
 
 from __future__ import annotations
@@ -66,38 +69,45 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
-        neigh = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        stepped = labels.join(neigh, "node", "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
-            (
-                F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))
-            ).cast("int").alias("changed"),
-        )
-        # pointer jumping (label(v) <- label(label(v)) halves remaining
-        # depth) folded into the SAME round plan — one checkpoint and
-        # one action per iteration, not two
-        jump = stepped.select(
-            F.col("node").alias("label"), F.col("label").alias("jlabel")
-        )
-        new_labels = (
-            stepped.join(jump, "label", "left")
-            .select(
+    # Round-latency control (mirrors label_propagation): lazy
+    # checkpoint materialized by the convergence aggregate's own job
+    # (one action per round group, not two), and rounds run in pairs
+    # between convergence checks — a converged labeling is a fixpoint,
+    # so the at-most-one extra round is the identity.
+    check_every = 2
+    it = 0
+    while it < max_iterations:
+        group = min(check_every, max_iterations - it)
+        for _ in range(group):
+            neigh = (
+                sym.join(labels.withColumnRenamed("node", "b"), "b")
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            stepped = labels.join(neigh, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (
+                    F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))
+                ).cast("int").alias("changed"),
+            )
+            # pointer jumping (label(v) <- label(label(v)) halves
+            # remaining depth) folded into the SAME round plan
+            jump = stepped.select(
+                F.col("node").alias("label"), F.col("label").alias("jlabel")
+            )
+            new_labels = stepped.join(jump, "label", "left").select(
                 "node",
                 F.coalesce("jlabel", "label").alias("label"),
                 "changed",
             )
-            .localCheckpoint(eager=True)
-        )
-        n_changed = new_labels.agg(F.sum("changed")).first()[0] or 0
-        labels = new_labels.drop("changed")
+            labels = new_labels.drop("changed")
+            it += 1
+        ck = new_labels.localCheckpoint(eager=False)
+        n_changed = ck.agg(F.sum("changed")).first()[0] or 0
+        labels = ck.drop("changed")
         if n_changed == 0:
             break
 
@@ -165,7 +175,9 @@ def connected_components_star(
 
     prev_fp = None
     for _ in range(max_iterations):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the fingerprint aggregate's job materializes
+        # it — one action per round, and lineage still resets
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         # bit_xor, not sum: overflow-free under ANSI mode, and order-
         # independent over the (distinct) edge set
         fp = tuple(
