@@ -271,12 +271,19 @@ def kg_query(
     # entities, and the global (relation) search ALSO yields its edges'
     # endpoint entities; each final list is the round-robin interleave
     # of its two branches with first-occurrence dedup.
+    # LAZY checkpoints: each search result feeds two later branches
+    # (entities + incident relations / relations + endpoint entities),
+    # so it must materialize once — but no separate job is needed; the
+    # stage-2b eager checkpoint's job materializes these RDDs as it
+    # runs. (Lazy is safe here because loc/glob carry no Observations —
+    # observation metrics only publish from plans executed via a
+    # DataFrame action, which the stage-2b checkpoints are.)
     loc = _entity_search(g, qvec, params.top_k) if want_local else None
     glob = _relation_search(g, qvec, params.top_k) if want_global else None
     if loc is not None:
-        loc = loc.localCheckpoint(eager=True)
+        loc = loc.localCheckpoint(eager=False)
     if glob is not None:
-        glob = glob.localCheckpoint(eager=True)
+        glob = glob.localCheckpoint(eager=False)
 
     ent_branches: list[DataFrame] = []
     if loc is not None:
@@ -505,6 +512,11 @@ def kg_query(
         merged_chunks = truncate_by_token_budget(
             merged_chunks, "content", "merge_ix", available_chunk_tokens
         )
+        # ONE materialization of the gather/merge/truncate plan: the
+        # eager checkpoint publishes chunk_obs and both stage-4 reads
+        # (references, chunk rows) become trivial scans of the
+        # checkpointed result instead of re-executing the plan each.
+        merged_chunks = merged_chunks.localCheckpoint(eager=True)
 
     # ── Stage 4: context assembly (collect the small result) ─────────
     if merged_chunks is not None:
