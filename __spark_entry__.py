@@ -28,7 +28,10 @@ from graphrag_kb_server_spark.functions import hashing as H
 from graphrag_kb_server_spark.functions import text as TXT
 from graphrag_kb_server_spark.functions import vectors as V
 from graphrag_kb_server_spark.operators import textstats as TS
-from graphrag_kb_server_spark.operators.centrality import degree_centrality
+from graphrag_kb_server_spark.operators.centrality import (
+    approx_betweenness,
+    degree_centrality,
+)
 from graphrag_kb_server_spark.operators.chunking import chunk_documents
 from graphrag_kb_server_spark.operators.communities import label_propagation
 from graphrag_kb_server_spark.operators.components import (
@@ -458,6 +461,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "name", F.round("centrality", 6).alias("centrality")
         )
     q["g1_degree_centrality"] = g1_degree_centrality
+
+    # ---- G1 betweenness (exact on a deterministic sample + the
+    #      sampled-source estimator — the reference's centrality
+    #      endpoint is exact rustworkx, lightrag_centrality.py:21-54;
+    #      oracle = fully-unrolled Brandes in DuckDB) ----
+    def _bw_edges(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.where("l_orderkey % 397 = 0").select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("tgt"),
+        ).distinct()
+
+    def g1_betweenness(spark, sf):
+        return approx_betweenness(
+            _bw_edges(spark, sf), num_sources=None, max_depth=12
+        ).select("name", F.round("centrality", 4).alias("centrality"))
+    q["g1_betweenness"] = g1_betweenness
+
+    def g1_betweenness_s16(spark, sf):
+        return approx_betweenness(
+            _bw_edges(spark, sf), num_sources=16, seed=42, max_depth=12
+        ).select("name", F.round("centrality", 4).alias("centrality"))
+    q["g1_betweenness_s16"] = g1_betweenness_s16
 
     # ---- G7 histogram ----
     def g7_histogram(spark, sf):
@@ -1205,6 +1231,77 @@ SELECT component, count(*) AS size FROM cm GROUP BY component
 """
     # identical ground truth for the star-alternation formulation
     o["g3_components_star"] = o["g3_components"]
+
+    # Brandes betweenness, fully unrolled (no aggregates allowed in a
+    # recursive CTE's recursive term, so BFS levels 1..12 and backward
+    # dependency accumulation are generated as explicit MATERIALIZED
+    # CTEs — mirroring operators/centrality.py:approx_betweenness
+    # level-for-level: forward sigma = sum over predecessor frontier,
+    # unseen-only; backward delta(v) = sum over successors w of
+    # sigma(v)/sigma(w)*(1+delta(w)); centrality = sum(delta)/2).
+    def _betweenness_sql(sources_sql: str, depth: int = 12) -> str:
+        parts = [
+            "e0 AS MATERIALIZED (SELECT DISTINCT 's' || CAST(l_suppkey AS "
+            "VARCHAR) AS a, 'p' || CAST(l_partkey AS VARCHAR) AS b "
+            "FROM lineitem WHERE l_orderkey % 397 = 0)",
+            "e AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+            "n AS MATERIALIZED (SELECT DISTINCT a AS node FROM e)",
+            f"src AS MATERIALIZED ({sources_sql})",
+            "l0 AS MATERIALIZED (SELECT node AS source, node, "
+            "CAST(1.0 AS DOUBLE) AS sigma FROM src)",
+            "v0 AS MATERIALIZED (SELECT source, node FROM l0)",
+        ]
+        for d in range(1, depth + 1):
+            parts.append(
+                f"l{d} AS MATERIALIZED (\n"
+                f"  SELECT f.source, e.b AS node, SUM(f.sigma) AS sigma\n"
+                f"  FROM l{d - 1} f JOIN e ON f.node = e.a\n"
+                f"  WHERE NOT EXISTS (SELECT 1 FROM v{d - 1} v "
+                f"WHERE v.source = f.source AND v.node = e.b)\n"
+                f"  GROUP BY f.source, e.b)"
+            )
+            parts.append(
+                f"v{d} AS MATERIALIZED (SELECT source, node FROM v{d - 1} "
+                f"UNION ALL SELECT source, node FROM l{d})"
+            )
+        parts.append(
+            f"d{depth} AS MATERIALIZED (SELECT source, node, sigma, "
+            f"CAST(0.0 AS DOUBLE) AS delta FROM l{depth})"
+        )
+        for d in range(depth, 0, -1):
+            parts.append(
+                f"c{d} AS MATERIALIZED (\n"
+                f"  SELECT c.source, e.b AS node, "
+                f"SUM(p.sigma / c.sigma * (1.0 + c.delta)) AS delta\n"
+                f"  FROM d{d} c JOIN e ON c.node = e.a\n"
+                f"  JOIN l{d - 1} p ON p.source = c.source AND p.node = e.b\n"
+                f"  GROUP BY c.source, e.b)"
+            )
+            parts.append(
+                f"d{d - 1} AS MATERIALIZED (\n"
+                f"  SELECT p.source, p.node, p.sigma, "
+                f"COALESCE(c.delta, 0.0) AS delta\n"
+                f"  FROM l{d - 1} p LEFT JOIN c{d} c "
+                f"ON c.source = p.source AND c.node = p.node)"
+            )
+        acc = " UNION ALL ".join(
+            f"SELECT node, delta FROM d{d} WHERE node <> source"
+            for d in range(0, depth)
+        )
+        return (
+            "WITH " + ",\n".join(parts) + f""",
+acc AS (SELECT node, delta FROM ({acc})),
+sc AS (SELECT node AS name, SUM(delta) / 2.0 AS c FROM acc GROUP BY node)
+SELECT n.node AS name, round(COALESCE(sc.c, 0.0), 4) AS centrality
+FROM n LEFT JOIN sc ON sc.name = n.node
+"""
+        )
+
+    o["g1_betweenness"] = _betweenness_sql("SELECT node FROM n")
+    # seeded sample mirror: smallest 16 by md5(seed || name), seed=42
+    o["g1_betweenness_s16"] = _betweenness_sql(
+        "SELECT node FROM n ORDER BY md5('42' || node) LIMIT 16"
+    )
 
     # minhash_lsh_dedup defaults: 16 hashes (2 md5s/shingle), 8 bands ×
     # 2 rows, word-3-gram shingles, oversized band buckets split at 256.

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "s_windowed_events",
     "s_sessionize",
     "g1_degree_centrality",
+    "g1_betweenness_s16",
 ]
 
 

@@ -50,9 +50,15 @@ def approx_betweenness(
     (source, node), i.e. K BFS runs batched into single joins.
     The dependency back-propagation runs depth-many joins in reverse.
     """
+    # Round-latency control: ONE driver action per BFS level — the
+    # frontier's lazy localCheckpoint is materialized by the loop-
+    # control count() itself — and the backward pass runs zero actions
+    # (every per-level delta is a lazy checkpoint; the caller's single
+    # action materializes the whole chain, each level persisting as it
+    # computes, lineage still truncated per level).
     e = edges.select(F.col("src").alias("a"), F.col("tgt").alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
     nodes = sym.select(F.col("a").alias("name")).distinct()
 
     if num_sources is None:
@@ -65,33 +71,33 @@ def approx_betweenness(
             .limit(num_sources)
             .select(F.col("name").alias("source"))
         )
-    sources = sources.localCheckpoint(eager=True)
+    sources = sources.localCheckpoint(eager=False)
 
     # forward BFS: levels[d] = (source, node, sigma) at distance d
     frontier = sources.select(
         "source", F.col("source").alias("node"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=True)
-    visited = frontier.select("source", "node", F.lit(0).alias("dist"), "sigma")
+    ).localCheckpoint(eager=False)
+    # visited = union of the (individually checkpointed) levels: a flat
+    # plan of cached-RDD scans — no checkpoint of its own needed
+    visited = frontier.select("source", "node")
     levels = [frontier.withColumn("dist", F.lit(0))]
     for d in range(1, max_depth + 1):
         nxt = (
             frontier.join(sym.withColumnRenamed("a", "node"), "node")
             .select("source", F.col("b").alias("node"), "sigma")
             .join(
-                visited.select("source", "node").withColumn("_seen", F.lit(1)),
+                visited.withColumn("_seen", F.lit(1)),
                 ["source", "node"],
                 "left",
             )
             .where(F.col("_seen").isNull())
             .groupBy("source", "node")
             .agg(F.sum("sigma").alias("sigma"))
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         levels.append(nxt.withColumn("dist", F.lit(d)))
-        visited = visited.unionByName(
-            nxt.select("source", "node", F.lit(d).alias("dist"), "sigma")
-        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt.select("source", "node"))
         frontier = nxt.select("source", "node", "sigma")
 
     # backward accumulation: delta(v) = sum over successors w of
@@ -119,7 +125,7 @@ def approx_betweenness(
         delta = (
             prev.join(contrib, ["source", "node"], "left")
             .select("source", "node", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         part = delta.where(F.col("node") != F.col("source")).select("node", "delta")
         acc = part if acc is None else acc.unionByName(part)
 
