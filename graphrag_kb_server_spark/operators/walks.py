@@ -42,9 +42,14 @@ def random_walk_with_restart(
     topk: int = 10,
     seed: int = 42,
 ) -> DataFrame:
-    """→ (name, score) top-k nodes by visit frequency."""
+    """→ (name, score) top-k nodes by visit frequency.
+
+    All per-step checkpoints are LAZY: the walk loop issues zero driver
+    actions — the caller's single action materializes the whole chain,
+    each step persisting (and cutting lineage) as it computes, and the
+    visits union reuses the persisted step RDDs."""
     spark = edges.sparkSession
-    adj = _adjacency(edges).localCheckpoint(eager=True)
+    adj = _adjacency(edges).localCheckpoint(eager=False)
 
     walks = spark.range(samples).select(
         F.col("id").alias("walk_id"), F.lit(source).alias("node")
@@ -79,7 +84,7 @@ def random_walk_with_restart(
                 ),
             )
             .select("walk_id", "node")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         visits.append(stepped)
         cur = stepped
 
@@ -133,7 +138,7 @@ def panther_similarity(
     random nodes, co-occurrence counted per path id.
     """
     spark = edges.sparkSession
-    adj = _adjacency(edges).localCheckpoint(eager=True)
+    adj = _adjacency(edges).localCheckpoint(eager=False)
     node_ids = adj.select("node").withColumn(
         "_ix", F.row_number().over(Window.orderBy("node")) - 1
     )
@@ -172,7 +177,7 @@ def panther_similarity(
                 ),
             )
             .select("path_id", "node")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         member_frames.append(cur)
 
     members = member_frames[0]
