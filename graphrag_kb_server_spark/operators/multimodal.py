@@ -8,14 +8,16 @@ service/index_support.py:76-93). In the Spark engine, media are opaque
 frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
 Decode reality, by format:
-- **BMP (24-bit uncompressed) and WAV (PCM)** are decoded FOR REAL —
-  pure struct parsing + numpy, no codec library needed
-  (``decode_bmp`` / ``decode_wav``). Image features are actual pixel
-  statistics; audio features are actual sample statistics.
-- Compressed formats (JPEG/PNG/MP4/MP3) require codec libraries not in
-  this container: ``deterministic_fake=True`` produces seeded,
-  shape-correct outputs so the Spark-side plumbing — schema, batching,
-  partitioning, one-to-many frame explosion — is real and tested;
+- **BMP (24-bit uncompressed), PNG (8-bit gray/RGB/palette/alpha,
+  non-interlaced) and WAV (PCM)** are decoded FOR REAL — pure struct
+  parsing + stdlib zlib + numpy, no codec library needed
+  (``decode_bmp`` / ``decode_png`` / ``decode_wav``). Image features
+  are actual pixel statistics; audio features are actual sample
+  statistics.
+- Formats needing external codecs (JPEG/MP4/MP3, 16-bit or interlaced
+  PNG): ``deterministic_fake=True`` produces seeded, shape-correct
+  outputs so the Spark-side plumbing — schema, batching, partitioning,
+  one-to-many frame explosion — is real and tested;
   ``deterministic_fake=False`` raises NotImplementedError at the exact
   line a real codec call belongs.
 """
@@ -80,15 +82,111 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, raw[:, :, ::-1]  # BGR → RGB
 
 
-def bmp_feature(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Real image feature from decoded pixels: [mean R, mean G, mean B]
-    + 16-bin normalized grayscale histogram (19-dim float32)."""
-    width, height, px = decode_bmp(payload)
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of an 8-bit non-interlaced PNG (stdlib zlib + numpy,
+    no codec library): color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); all five scanline filters. Returns
+    (width, height, H×W×3 uint8 RGB — alpha dropped, gray replicated).
+    Raises ValueError on non-PNG or unsupported variants (16-bit,
+    interlaced), keeping those on the declared-slot path."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, bits, color, comp, filt, interlace = ihdr
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if bits != 8 or comp != 0 or filt != 0 or interlace != 0 or nch is None:
+        raise ValueError(
+            f"unsupported PNG (bits={bits}, color={color}, interlace={interlace})"
+        )
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG inflate failed: {exc}") from None
+    stride = w * nch
+    if w == 0 or h == 0 or len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    at = 0
+    for y in range(h):
+        f = raw[at]
+        cur = np.frombuffer(raw, np.uint8, stride, at + 1).copy()
+        at += stride + 1
+        if f == 0:
+            pass
+        elif f == 2:  # up — vectorized, uint8 wraps mod 256
+            cur += prev
+        elif f == 1:  # sub
+            for i in range(nch, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - nch])) & 0xFF
+        elif f == 3:  # average
+            for i in range(stride):
+                left = int(cur[i - nch]) if i >= nch else 0
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: len(pal) // 3 * 3].reshape(-1, 3)
+        if len(pal) == 0 or int(px.max()) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        px = pal[px[:, :, 0]]
+    elif color == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif color == 6:
+        px = px[:, :, :3]
+    return w, h, px
+
+
+def _pixel_feature(width: int, height: int, px: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """[mean R, mean G, mean B] + 16-bin normalized grayscale histogram
+    (19-dim float32) from decoded RGB pixels."""
     means = px.reshape(-1, 3).mean(axis=0) / 255.0
     gray = px.mean(axis=2)
     hist, _ = np.histogram(gray, bins=16, range=(0, 255))
     hist = hist / max(hist.sum(), 1)
     return width, height, np.concatenate([means, hist]).astype(np.float32)
+
+
+def bmp_feature(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real image feature from decoded pixels — tries BMP then PNG
+    (both dependency-free real decoders); ValueError for anything else."""
+    if payload[:2] == b"BM":
+        return _pixel_feature(*decode_bmp(payload))
+    return _pixel_feature(*decode_png(payload))
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -181,8 +279,9 @@ def image_features(
     media: DataFrame, dim: int = 16, deterministic_fake: bool = True
 ) -> DataFrame:
     """Decode + feature-extract images: REAL pixel statistics for
-    24-bit BMP payloads (decode_bmp needs no codec library); the seeded
-    fake covers compressed formats under ``deterministic_fake``."""
+    24-bit BMP and 8-bit PNG payloads (decode_bmp/decode_png need no
+    codec library); the seeded fake covers the remaining formats under
+    ``deterministic_fake``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -406,3 +406,106 @@ def test_multimodal_null_metadata_and_malformed_wav(spark):
     assert af["a_bad"]["duration_ms"] == 0  # fake path absorbed it
     frames = sample_video_frames(media, every_ms=1000).collect()
     assert [f["frame_ix"] for f in frames] == [0]  # null duration → 1 frame
+
+
+def _encode_png(px, color, filters, palette=None):
+    """Minimal PNG writer for the decoder test: 8-bit, chosen color
+    type, one chosen filter byte per row (applying the spec's forward
+    transform so decode must invert it)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, body):
+        c = ctype + body
+        return struct.pack(">I", len(body)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    h, w = px.shape[0], px.shape[1]
+    nch = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        enc = np.zeros_like(cur)
+        for i in range(w * nch):
+            a = int(cur[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            c = int(prev[i - nch]) if i >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (int(cur[i]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_all_filters_and_color_types():
+    """decode_png inverts every scanline filter (0/1/2/3/4) and maps
+    each supported color type to RGB — against a spec-faithful inline
+    encoder, not a library."""
+    import numpy as np
+
+    from graphrag_kb_server_spark.operators.multimodal import (
+        bmp_feature,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    # RGB, 6x5, every filter type used across rows
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    w, h, got = decode_png(_encode_png(px, 2, [0, 1, 2, 3, 4, 3]))
+    assert (w, h) == (5, 6)
+    assert np.array_equal(got, px)
+
+    # grayscale replicated to RGB
+    g = rng.integers(0, 256, size=(4, 7, 1), dtype=np.uint8)
+    _, _, got_g = decode_png(_encode_png(g, 0, [4, 2, 1, 3]))
+    assert np.array_equal(got_g, np.repeat(g, 3, axis=2))
+
+    # RGBA drops alpha
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    _, _, got_a = decode_png(_encode_png(rgba, 6, [1, 4, 2]))
+    assert np.array_equal(got_a, rgba[:, :, :3])
+
+    # palette lookup
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)[:, :, None]
+    _, _, got_p = decode_png(_encode_png(idx, 3, [0, 1], palette=pal))
+    assert got_p[0, 0].tolist() == [255, 0, 0]
+    assert got_p[1, 0].tolist() == [0, 0, 255]
+
+    # the image-features entry point now takes PNG for real
+    w2, h2, feat = bmp_feature(_encode_png(px, 2, [0]))
+    assert (w2, h2) == (5, 6) and len(feat) == 19
+
+    # unsupported variants stay on the declared-slot (ValueError) path
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-chunks")
+    with pytest.raises(ValueError):
+        # 16-bit: flip bits field
+        bad = bytearray(_encode_png(px, 2, [0]))
+        bad[24] = 16
+        decode_png(bytes(bad))
