@@ -343,6 +343,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("qid", "id", F.round("score", 4).alias("score"), "rank")
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_ivf_probe_topk(spark, sf):
+        # query-side multi-probe: each query also searches the
+        # n_planes one-bit-flipped cells — recovers neighbours
+        # straddling one hyperplane, table side stays 1x
+        from graphrag_kb_server_spark.operators.similarity import ivf_topk_batch
+
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.where("vec_id < 5").select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        return ivf_topk_batch(
+            emb, queries_df, 10, "vec_id", "qid",
+            n_planes=_NEAR_DUP_PLANES, seed=_NEAR_DUP_SEED, probe_bits=1,
+        ).select("qid", "id", F.round("score", 4).alias("score"), "rank")
+    q["ann_ivf_probe_topk"] = ann_ivf_probe_topk
+
     # ---- dedup family ----
     def dedup_exact(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -942,6 +958,44 @@ WITH t AS (
   FROM embeddings
 ),
 q AS (SELECT id AS qid, v AS qv, cell FROM t WHERE id < 5),
+scored AS (
+  SELECT q.qid, t.id, list_cosine_similarity(t.v, q.qv) AS s
+  FROM t JOIN q ON t.cell = q.cell
+),
+ranked AS (
+  SELECT qid, id, s,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, id) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, id, round(s, 4) AS score, rank FROM ranked WHERE rank <= 10
+"""
+
+    # multi-probe mirror: query side = exact cell UNION ALL each
+    # one-bit-flipped cell (probe cells are distinct, so no pair dedup
+    # is needed — a table row's single cell matches at most one probe)
+    probe_variants = "\n  UNION ALL\n".join(
+        "  SELECT qid, qv, "
+        + (f"substr(cell, 1, {i}) || " if i > 0 else "")
+        + f"(CASE WHEN substr(cell, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        + (
+            f" || substr(cell, {i + 2})"
+            if i < _NEAR_DUP_PLANES - 1
+            else ""
+        )
+        + " AS cell FROM q0"
+        for i in range(_NEAR_DUP_PLANES)
+    )
+    o["ann_ivf_probe_topk"] = f"""
+WITH t AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v, {ivf_cell} AS cell
+  FROM embeddings
+),
+q0 AS (SELECT id AS qid, v AS qv, cell FROM t WHERE id < 5),
+q AS (
+  SELECT qid, qv, cell FROM q0
+  UNION ALL
+{probe_variants}
+),
 scored AS (
   SELECT q.qid, t.id, list_cosine_similarity(t.v, q.qv) AS s
   FROM t JOIN q ON t.cell = q.cell

@@ -113,6 +113,7 @@ def ivf_topk_batch(
     n_planes: int | None = 4,
     seed: int = 42,
     target_cell_rows: int = 4096,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate batched top-k: both sides keyed by hyperplane-sign
     cell; candidates = same-cell rows only (2^n_planes cells). Recall
@@ -123,7 +124,15 @@ def ivf_topk_batch(
     ceil(log2(rows / target_cell_rows)), clamped to [1, 28] — so the
     EXPECTED cell holds ~target_cell_rows candidates at any corpus
     size instead of rows/16 with the fixed default (a per-query scan
-    bomb at web scale)."""
+    bomb at web scale).
+
+    ``probe_bits=1`` is textbook query-side multi-probe: each query
+    also probes the ``n_planes`` cells at sign-hamming 1 (one plane
+    flipped), so a true neighbour straddling ONE hyperplane is still a
+    candidate. The BIG side stays 1× (flipping query bits beats the
+    symmetric masked-key trick when the sides are asymmetric); cost is
+    an (n_planes+1)× bigger broadcast of the tiny query table, and
+    each probe cell is distinct so no candidate dedup is needed."""
     dim_row = table.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
     if n_planes is None:
@@ -135,6 +144,18 @@ def ivf_topk_batch(
     q = queries.select(
         F.col(query_id_col).alias("qid"), V.to_double(F.col(query_vec_col)).alias("qv")
     ).withColumn("cell", _cell_expr(F.col("qv"), planes))
+    if probe_bits > 0:
+        flipped = [
+            F.concat(
+                F.substring("cell", 1, i),
+                F.when(
+                    F.substring("cell", i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring("cell", i + 2, n_planes),
+            )
+            for i in range(n_planes)
+        ]
+        q = q.withColumn("cell", F.explode(F.array(F.col("cell"), *flipped)))
     scored = t.join(F.broadcast(q), "cell").withColumn(
         "score", V.cosine(F.col("v"), F.col("qv"))
     )

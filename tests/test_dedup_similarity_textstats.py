@@ -509,3 +509,29 @@ def test_png_decode_all_filters_and_color_types():
         bad = bytearray(_encode_png(px, 2, [0]))
         bad[24] = 16
         decode_png(bytes(bad))
+
+
+def test_ivf_multi_probe_recall_dominates(spark):
+    """probe_bits=1 searches the query's cell plus every one-bit-
+    flipped cell: per-query best score is >= the single-cell best, and
+    at least one query sees a strictly better candidate set on random
+    data (neighbours straddling one hyperplane become visible)."""
+    table, _ = _emb_table(spark)
+    queries = table.limit(8).select(F.col("vec_id").alias("qid"), "embedding")
+
+    def best(df):
+        return {r["qid"]: r["score"] for r in df.collect() if r["rank"] == 1}
+
+    plain = best(ivf_topk_batch(table, queries, 3, "vec_id", "qid", n_planes=4))
+    probed = best(
+        ivf_topk_batch(table, queries, 3, "vec_id", "qid", n_planes=4, probe_bits=1)
+    )
+    assert set(plain) <= set(probed)  # probing never loses a query
+    for qid, s in plain.items():
+        assert probed[qid] >= s - 1e-9
+    # candidate coverage strictly grows somewhere on 50 random vectors
+    n_plain = ivf_topk_batch(table, queries, 50, "vec_id", "qid", n_planes=4).count()
+    n_probe = ivf_topk_batch(
+        table, queries, 50, "vec_id", "qid", n_planes=4, probe_bits=1
+    ).count()
+    assert n_probe > n_plain
