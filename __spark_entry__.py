@@ -517,6 +517,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_windowed_events"] = s_windowed_events
 
+    # ---- availableNow incremental stream (real Structured Streaming
+    #      run, value-hash-oracled: the batch framing/sanitize/doc-id
+    #      chain is SQL-expressible, and a second availableNow pass
+    #      with a fresh checkpoint must add NOTHING — idempotency is
+    #      part of the checked result) ----
+    def s_incremental_docs(spark, sf):
+        import tempfile
+
+        from graphrag_kb_server_spark.streaming.incremental import run_incremental
+
+        docs = _t(spark, sf, "documents")
+        pages = docs.select(
+            F.concat(
+                F.col("source"), F.lit("#"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.lit(b"").alias("html"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        base = tempfile.mkdtemp(prefix="s_incr_")
+        pages_dir = f"{base}/pages"
+        pages.write.mode("overwrite").parquet(pages_dir)
+        run_incremental(spark, pages_dir, f"{base}/out", f"{base}/ck")
+        # replay with a fresh checkpoint: doc_status dedup must absorb it
+        run_incremental(spark, pages_dir, f"{base}/out", f"{base}/ck2")
+        return spark.read.parquet(f"{base}/out/documents_stream").select(
+            "doc_id", "url", "content"
+        )
+    q["s_incremental_docs"] = s_incremental_docs
+
     # ---- sessionization (training-pipeline op) ----
     def s_sessionize(spark, sf):
         ev = _t(spark, sf, "events")
@@ -1260,6 +1291,25 @@ WITH d AS (
 SELECT file_path, relevancy_score,
        CAST(row_number() OVER (ORDER BY pts DESC, file_path) AS INT) AS rank
 FROM d
+"""
+
+    # availableNow incremental: the streamed result equals the batch
+    # sanitize→frame→content-hash chain over documents, deduped by
+    # doc_id (mirrors functions/text.py extract_text + doc_id; the
+    # second replay pass the Spark entry runs must contribute nothing)
+    from graphrag_kb_server_spark.functions.text import (
+        TIKTOKEN_SPECIAL_TOKENS_PATTERN,
+    )
+
+    o["s_incremental_docs"] = f"""
+WITH pages AS (
+  SELECT source || '#' || CAST(doc_id AS VARCHAR) AS url,
+         regexp_replace(text, '{TIKTOKEN_SPECIAL_TOKENS_PATTERN}', '', 'g')
+           || chr(10) || chr(10) || 'Source: ' || source || '#'
+           || CAST(doc_id AS VARCHAR) || chr(10) AS content
+  FROM documents
+)
+SELECT DISTINCT 'doc-' || md5(content) AS doc_id, url, content FROM pages
 """
 
     o["s_windowed_events"] = """
