@@ -675,19 +675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return canonical_map(g.nodes)
     q["kg_canonical_map"] = kg_canonical_map
 
-    def kg_query_context(spark, sf):
-        """The FULL 4-stage hybrid query composite, flattened to
-        (section, ix, a, b, c) rows — every stage's output is
-        value-hash-checked against golden.golden_kg_query_context's
-        sequential pandas twin (reference lightrag_search.py:930-1386)."""
+    def _ctx_rows_df(spark, ctx):
+        """Flatten a QueryContext into the (section, ix, a, b, c) rows
+        the golden sequential twin emits."""
         import hashlib as _hl
-
-        g = _tiny_graph_tables(spark)
-        hub = g.nodes.orderBy(F.desc("mention_count"), "name").first()["name"]
-        ctx = kg_query(
-            spark, g, f"What is the relationship between {hub} and others?",
-            QueryParams(mode="hybrid", top_k=10),
-        )
 
         def h(s: str) -> str:
             return _hl.md5(s.encode("utf-8")).hexdigest()
@@ -713,7 +704,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(
             rows, "section string, ix int, a string, b string, c string"
         )
+
+    def _kg_query_ctx(spark, mode):
+        g = _tiny_graph_tables(spark)
+        hub = g.nodes.orderBy(F.desc("mention_count"), "name").first()["name"]
+        return _ctx_rows_df(spark, kg_query(
+            spark, g, f"What is the relationship between {hub} and others?",
+            QueryParams(mode=mode, top_k=10),
+        ))
+
+    def kg_query_context(spark, sf):
+        """The FULL 4-stage hybrid query composite, flattened to
+        (section, ix, a, b, c) rows — every stage's output is
+        value-hash-checked against golden.golden_kg_query_context's
+        sequential pandas twin (reference lightrag_search.py:930-1386)."""
+        return _kg_query_ctx(spark, "hybrid")
     q["kg_query_context"] = kg_query_context
+
+    def kg_query_context_mix(spark, sf):
+        """Same composite in MIX mode — exercises the chunk-vector
+        branch (Q4) and the 3-way pos*3+branch merge (Q13) against the
+        twin's mode='mix' path (reference lightrag_search.py:1287-1386)."""
+        return _kg_query_ctx(spark, "mix")
+    q["kg_query_context_mix"] = kg_query_context_mix
 
     def g3_components(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -831,6 +844,11 @@ def _golden_kg_oracles() -> dict[str, str]:
     )
     out["kg_query_context"] = _values_oracle(
         golden.golden_kg_query_context(_GOLDEN_N_DOCS),
+        {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR", "b": "VARCHAR",
+         "c": "VARCHAR"},
+    )
+    out["kg_query_context_mix"] = _values_oracle(
+        golden.golden_kg_query_context(_GOLDEN_N_DOCS, mode="mix"),
         {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR", "b": "VARCHAR",
          "c": "VARCHAR"},
     )

@@ -403,14 +403,15 @@ def _gather_chunks(selected: list[dict], member_key: str) -> list[dict]:
 
 
 def golden_kg_query_context(
-    n_rows: int = 120, seed: int = 42, top_k: int = 10
+    n_rows: int = 120, seed: int = 42, top_k: int = 10, mode: str = "hybrid"
 ) -> pd.DataFrame:
-    """Sequential twin of the hybrid kg_query composite the driver's
-    kg_query_context entry runs: stage 1 search (entity + relation
+    """Sequential twin of the kg_query composite the driver's
+    kg_query_context entries run: stage 1 search (entity + relation
     vector top-k with cross-derivation), stage 2 token truncation,
     stage 3 chunk gather/polling/merge + the reference Q14 budget,
-    stage 4 references + final context rows. Emits the same
-    (section, ix, a, b, c) rows as the Spark entry."""
+    stage 4 references + final context rows. ``mode="mix"`` adds the
+    chunk-vector branch and the 3-way (pos*3+branch) merge (Q4/Q13).
+    Emits the same (section, ix, a, b, c) rows as the Spark entry."""
     import math
 
     from .functions.embedding import embed_text
@@ -531,7 +532,26 @@ def golden_kg_query_context(
     rel_chunks = [r for r in rel_chunks if r["chunk_id"] not in ent_ids]
     rel_chunks.sort(key=lambda r: (-r["occurrence"], r["chunk_id"]))
 
-    merged = _round_robin([picked, rel_chunks], key_fn=lambda r: r["chunk_id"])
+    branches = [picked, rel_chunks]
+    if mode == "mix":
+        # Q4 chunk-vector branch (twin of _chunk_search, k = 2x
+        # related_chunk_number, tie-break chunk_id) — branch 0 of the
+        # Q13 3-way interleave
+        chunk_emb: dict[str, list[float]] = {}
+        for c in g["chunks"]:
+            if c["chunk_id"] not in chunk_emb:
+                chunk_emb[c["chunk_id"]] = [
+                    float(x) for x in embed_text(c["content"])
+                ]
+        cscore = {cid: _cosine(v, qvec) for cid, v in chunk_emb.items()}
+        vec = [
+            {"chunk_id": cid, "vscore": s}
+            for cid, s in sorted(
+                cscore.items(), key=lambda kv: (-kv[1], kv[0])
+            )[: RELATED_CHUNKS * 2]
+        ]
+        branches = [vec, picked, rel_chunks]
+    merged = _round_robin(branches, key_fn=lambda r: r["chunk_id"])
     n_merged = len(merged)
     chunk_rows = {c["chunk_id"]: c for c in g["chunks"]}
     merged = [
