@@ -705,12 +705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "section string, ix int, a string, b string, c string"
         )
 
-    def _kg_query_ctx(spark, mode):
+    def _kg_query_ctx(spark, mode, chunk_pick="weighted_polling"):
         g = _tiny_graph_tables(spark)
         hub = g.nodes.orderBy(F.desc("mention_count"), "name").first()["name"]
         return _ctx_rows_df(spark, kg_query(
             spark, g, f"What is the relationship between {hub} and others?",
-            QueryParams(mode=mode, top_k=10),
+            QueryParams(mode=mode, top_k=10, chunk_pick=chunk_pick),
         ))
 
     def kg_query_context(spark, sf):
@@ -727,6 +727,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         twin's mode='mix' path (reference lightrag_search.py:1287-1386)."""
         return _kg_query_ctx(spark, "mix")
     q["kg_query_context_mix"] = kg_query_context_mix
+
+    def kg_query_context_vecpick(spark, sf):
+        """Hybrid composite with chunk_pick='vector' — exercises the
+        Q12 cosine chunk pick (vector_similarity_chunk_pick + join-back)
+        against the twin's chunk_pick='vector' path (reference
+        lightrag_search.py:1472-1510). related_chunk_number=1 keeps the
+        cosine selection BITING (num = n_entities/2 candidates survive)
+        so this entry genuinely differentiates from the polling path."""
+        g = _tiny_graph_tables(spark)
+        hub = g.nodes.orderBy(F.desc("mention_count"), "name").first()["name"]
+        return _ctx_rows_df(spark, kg_query(
+            spark, g, f"What is the relationship between {hub} and others?",
+            QueryParams(
+                mode="hybrid", top_k=10, chunk_pick="vector",
+                related_chunk_number=1,
+            ),
+        ))
+    q["kg_query_context_vecpick"] = kg_query_context_vecpick
 
     def g3_components(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -849,6 +867,14 @@ def _golden_kg_oracles() -> dict[str, str]:
     )
     out["kg_query_context_mix"] = _values_oracle(
         golden.golden_kg_query_context(_GOLDEN_N_DOCS, mode="mix"),
+        {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR", "b": "VARCHAR",
+         "c": "VARCHAR"},
+    )
+    out["kg_query_context_vecpick"] = _values_oracle(
+        golden.golden_kg_query_context(
+            _GOLDEN_N_DOCS, mode="hybrid", chunk_pick="vector",
+            related_chunks=1,
+        ),
         {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR", "b": "VARCHAR",
          "c": "VARCHAR"},
     )

@@ -403,14 +403,22 @@ def _gather_chunks(selected: list[dict], member_key: str) -> list[dict]:
 
 
 def golden_kg_query_context(
-    n_rows: int = 120, seed: int = 42, top_k: int = 10, mode: str = "hybrid"
+    n_rows: int = 120,
+    seed: int = 42,
+    top_k: int = 10,
+    mode: str = "hybrid",
+    chunk_pick: str = "weighted_polling",
+    related_chunks: int = 5,
 ) -> pd.DataFrame:
     """Sequential twin of the kg_query composite the driver's
     kg_query_context entries run: stage 1 search (entity + relation
     vector top-k with cross-derivation), stage 2 token truncation,
     stage 3 chunk gather/polling/merge + the reference Q14 budget,
     stage 4 references + final context rows. ``mode="mix"`` adds the
-    chunk-vector branch and the 3-way (pos*3+branch) merge (Q4/Q13).
+    chunk-vector branch and the 3-way (pos*3+branch) merge (Q4/Q13);
+    ``chunk_pick="vector"`` swaps the Q11 gradient polling for the Q12
+    cosine pick (top related*n_entities/2 candidates by similarity to
+    the raw-query embedding, then occurrence order).
     Emits the same (section, ix, a, b, c) rows as the Spark entry."""
     import math
 
@@ -424,7 +432,7 @@ def golden_kg_query_context(
     from .tokenizer import count_tokens
 
     MAX_ENTITY_TOKENS, MAX_RELATION_TOKENS = 100, 800
-    MAX_TOTAL_TOKENS, RELATED_CHUNKS = 5000, 5
+    MAX_TOTAL_TOKENS, RELATED_CHUNKS = 5000, related_chunks
 
     g = golden_kg_graph(n_rows, seed)
     nodes, edges = g["nodes"], g["edges"]
@@ -504,24 +512,55 @@ def golden_kg_query_context(
         for r in relations
     ]
 
-    # ── stage 3: chunk gather / polling / merge / Q14 budget ─────────
+    # ── stage 3: chunk gather / pick / merge / Q14 budget ────────────
+    _emb_cache: dict[str, list[float]] = {}
+
+    def _chunk_embs() -> dict[str, list[float]]:
+        if not _emb_cache:
+            for c in g["chunks"]:
+                if c["chunk_id"] not in _emb_cache:
+                    _emb_cache[c["chunk_id"]] = [
+                        float(x) for x in embed_text(c["content"])
+                    ]
+        return _emb_cache
+
     ent_chunks = _gather_chunks(entities, "name")
-    r_total = len(entities)
-    budget_total = RELATED_CHUNKS * r_total
-    tri = r_total * (r_total + 1) / 2.0
-    quota = {
-        r["name"]: max(
-            1, int(math.floor(budget_total * (r_total - r["merge_ix"]) / tri + 0.5))
-        )
-        for r in entities
-    }
-    by_member: dict[str, list[dict]] = {}
-    for e in ent_chunks:
-        by_member.setdefault(e["member"], []).append(e)
-    picked = []
-    for member, rows in by_member.items():
-        rows.sort(key=lambda r: (-r["occurrence"], r["chunk_id"]))
-        picked.extend(rows[: quota.get(member, 0)] if member in quota else [])
+    if chunk_pick == "vector":
+        # Q12 twin: top related*n_entities/2 candidates by cosine to
+        # the RAW query embedding (not the keyword-joined one), then
+        # occurrence order — mirrors vector_similarity_chunk_pick +
+        # kg_query's join-back
+        emb = _chunk_embs()
+        qvec_raw = [float(x) for x in embed_text(query)]
+        num = max(int(RELATED_CHUNKS * len(entities) / 2), 1)
+        scored = sorted(
+            (
+                (cid, _cosine(emb[cid], qvec_raw))
+                for cid in {e["chunk_id"] for e in ent_chunks}
+                if cid in emb
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:num]
+        keep = {cid for cid, _ in scored}
+        picked = [e for e in ent_chunks if e["chunk_id"] in keep]
+    else:
+        r_total = len(entities)
+        budget_total = RELATED_CHUNKS * r_total
+        tri = r_total * (r_total + 1) / 2.0
+        quota = {
+            r["name"]: max(
+                1,
+                int(math.floor(budget_total * (r_total - r["merge_ix"]) / tri + 0.5)),
+            )
+            for r in entities
+        }
+        by_member: dict[str, list[dict]] = {}
+        for e in ent_chunks:
+            by_member.setdefault(e["member"], []).append(e)
+        picked = []
+        for member, rows in by_member.items():
+            rows.sort(key=lambda r: (-r["occurrence"], r["chunk_id"]))
+            picked.extend(rows[: quota.get(member, 0)] if member in quota else [])
     picked.sort(key=lambda r: (-r["occurrence"], r["chunk_id"]))
 
     rel_sel = [
@@ -537,13 +576,7 @@ def golden_kg_query_context(
         # Q4 chunk-vector branch (twin of _chunk_search, k = 2x
         # related_chunk_number, tie-break chunk_id) — branch 0 of the
         # Q13 3-way interleave
-        chunk_emb: dict[str, list[float]] = {}
-        for c in g["chunks"]:
-            if c["chunk_id"] not in chunk_emb:
-                chunk_emb[c["chunk_id"]] = [
-                    float(x) for x in embed_text(c["content"])
-                ]
-        cscore = {cid: _cosine(v, qvec) for cid, v in chunk_emb.items()}
+        cscore = {cid: _cosine(v, qvec) for cid, v in _chunk_embs().items()}
         vec = [
             {"chunk_id": cid, "vscore": s}
             for cid, s in sorted(
