@@ -728,6 +728,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _kg_query_ctx(spark, "mix")
     q["kg_query_context_mix"] = kg_query_context_mix
 
+    def kg_query_context_local(spark, sf):
+        """Q5 local mode: entity search only (+ its incident edges)."""
+        return _kg_query_ctx(spark, "local")
+    q["kg_query_context_local"] = kg_query_context_local
+
+    def kg_query_context_global(spark, sf):
+        """Q5 global mode: relation search only (+ endpoint entities)."""
+        return _kg_query_ctx(spark, "global")
+    q["kg_query_context_global"] = kg_query_context_global
+
     def kg_query_context_vecpick(spark, sf):
         """Hybrid composite with chunk_pick='vector' — exercises the
         Q12 cosine chunk pick (vector_similarity_chunk_pick + join-back)
@@ -870,6 +880,12 @@ def _golden_kg_oracles() -> dict[str, str]:
         {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR", "b": "VARCHAR",
          "c": "VARCHAR"},
     )
+    for _m in ("local", "global"):
+        out[f"kg_query_context_{_m}"] = _values_oracle(
+            golden.golden_kg_query_context(_GOLDEN_N_DOCS, mode=_m),
+            {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR",
+             "b": "VARCHAR", "c": "VARCHAR"},
+        )
     out["kg_query_context_vecpick"] = _values_oracle(
         golden.golden_kg_query_context(
             _GOLDEN_N_DOCS, mode="hybrid", chunk_pick="vector",

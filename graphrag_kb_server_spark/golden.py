@@ -451,38 +451,63 @@ def golden_kg_query_context(
         key: [float(x) for x in embed_text("\t".join(key))] for key in edges
     }
 
-    # ── stage 1: entity / relation top-k + cross-derivation ──────────
-    ent_scores = {n: _cosine(v, qvec) for n, v in ent_emb.items()}
-    loc = sorted(nodes.values(), key=lambda n: (-ent_scores[n["name"]], n["name"]))[:top_k]
-    loc = [{**n, "vscore": ent_scores[n["name"]]} for n in loc]
+    # ── stage 1: entity / relation top-k + cross-derivation — Q5 mode
+    # dispatch mirrored exactly: local = entity search (+its incident
+    # edges), global = relation search (+its endpoint entities),
+    # hybrid/mix = both branches round-robin-interleaved ──────────────
+    want_local = mode in ("local", "hybrid", "mix")
+    want_global = mode in ("global", "hybrid", "mix")
 
-    rel_scores = {k: _cosine(v, qvec) for k, v in rel_emb.items()}
-    glob = sorted(edges.values(), key=lambda e: (-rel_scores[(e["src"], e["tgt"])], e["src"]))[:top_k]
-    glob = [{**e, "vscore": rel_scores[(e["src"], e["tgt"])]} for e in glob]
+    loc: list[dict] = []
+    if want_local:
+        ent_scores = {n: _cosine(v, qvec) for n, v in ent_emb.items()}
+        loc = sorted(
+            nodes.values(), key=lambda n: (-ent_scores[n["name"]], n["name"])
+        )[:top_k]
+        loc = [{**n, "vscore": ent_scores[n["name"]]} for n in loc]
 
-    # endpoint entities of top relations (max vscore per name)
-    ep_score: dict[str, float] = {}
-    for e in glob:
-        for name in (e["src"], e["tgt"]):
-            ep_score[name] = max(ep_score.get(name, float("-inf")), e["vscore"])
-    ep = [
-        {**nodes[name], "vscore": s}
-        for name, s in ep_score.items() if name in nodes
-    ]
-    ep.sort(key=lambda r: (-r["vscore"], r["name"]))
-    entities = _round_robin([loc, ep], key_fn=lambda r: r["name"])
+    glob: list[dict] = []
+    if want_global:
+        rel_scores = {k: _cosine(v, qvec) for k, v in rel_emb.items()}
+        glob = sorted(
+            edges.values(),
+            key=lambda e: (-rel_scores[(e["src"], e["tgt"])], e["src"]),
+        )[:top_k]
+        glob = [{**e, "vscore": rel_scores[(e["src"], e["tgt"])]} for e in glob]
+
+    ent_branches: list[list[dict]] = []
+    if want_local:
+        ent_branches.append(loc)
+    if want_global:
+        # endpoint entities of top relations (max vscore per name)
+        ep_score: dict[str, float] = {}
+        for e in glob:
+            for name in (e["src"], e["tgt"]):
+                ep_score[name] = max(ep_score.get(name, float("-inf")), e["vscore"])
+        ep = [
+            {**nodes[name], "vscore": s}
+            for name, s in ep_score.items() if name in nodes
+        ]
+        ep.sort(key=lambda r: (-r["vscore"], r["name"]))
+        ent_branches.append(ep)
+    entities = _round_robin(ent_branches, key_fn=lambda r: r["name"])
     n_entities_found = len(entities)
 
-    # edges incident to top local entities (max entity vscore per edge)
-    inc_score: dict[tuple, float] = {}
-    for r in loc:
-        for key, e in edges.items():
-            if r["name"] in key:
-                inc_score[key] = max(inc_score.get(key, float("-inf")), r["vscore"])
-    inc = [{**edges[k], "vscore": s} for k, s in inc_score.items()]
-    inc.sort(key=lambda r: (-r["vscore"], -r["weight"], r["src"], r["tgt"]))
+    rel_branches: list[list[dict]] = []
+    if want_global:
+        rel_branches.append(glob)
+    if want_local:
+        # edges incident to top local entities (max entity vscore/edge)
+        inc_score: dict[tuple, float] = {}
+        for r in loc:
+            for key, e in edges.items():
+                if r["name"] in key:
+                    inc_score[key] = max(inc_score.get(key, float("-inf")), r["vscore"])
+        inc = [{**edges[k], "vscore": s} for k, s in inc_score.items()]
+        inc.sort(key=lambda r: (-r["vscore"], -r["weight"], r["src"], r["tgt"]))
+        rel_branches.append(inc)
     relations = _round_robin(
-        [glob, inc], key_fn=lambda r: (r["src"], r["tgt"])
+        rel_branches, key_fn=lambda r: (r["src"], r["tgt"])
     )
     n_relations_found = len(relations)
 
