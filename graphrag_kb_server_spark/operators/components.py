@@ -42,12 +42,26 @@ def connected_components(
     src: str = "src",
     dst: str = "tgt",
     max_iterations: int = 50,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(src, tgt) → (node STRING, component STRING).
 
     component = min node id (string order) in the component. Isolated
     nodes only appear if present as self-edges or in the node set of
     ``edges``; callers union in singletons if needed.
+
+    Size-adaptive execution: a distributed iterative join over a graph
+    of a few thousand edges pays seconds of per-round scheduling for
+    microseconds of work, so when the (deduped, symmetrized) edge set
+    is ≤ ``small_graph_threshold`` rows the exact same min-label
+    semantics run as driver-side union-find on the collected edges —
+    identical output, one collect instead of rounds of shuffles. The
+    threshold bounds the collect (100k string pairs ≈ a few MB); larger
+    graphs take the distributed min-label + pointer-jumping loop.
+    Entity-similarity graphs from linking are far below the threshold
+    even at web scale corpora (they grow with the VOCABULARY of
+    near-identical names, not the corpus) while true web-scale graphs
+    (g3 over billions of rows) stay distributed.
     """
     # symmetrize once; dedup to keep the iteration input minimal
     e = (
@@ -56,6 +70,36 @@ def connected_components(
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
+
+    if sym.count() <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        rows = sym.collect()
+        for r in rows:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                # union by min keeps component id = min member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = sorted({r["a"] for r in rows})
+        # preserve the caller's id type: numeric ids must keep numeric
+        # min semantics end-to-end (a string cast would reorder "9" >
+        # "10" and change every downstream min/join)
+        from pyspark.sql import types as T
+
+        dt = sym.schema["a"].dataType
+        return sym.sparkSession.createDataFrame(
+            [(n, find(n)) for n in labels],
+            T.StructType(
+                [T.StructField("node", dt), T.StructField("component", dt)]
+            ),
+        )
 
     # label(node) = min neighbor-or-self, iterated to fixpoint.
     # This is the simple "min-label propagation" formulation: each round

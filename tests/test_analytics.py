@@ -55,6 +55,19 @@ def test_connected_components_long_chain(spark):
     assert comp.count() == 41
 
 
+def test_connected_components_small_graph_path_agrees(spark):
+    """The size-adaptive driver-side union-find (edge set under the
+    threshold) produces exactly the distributed loop's labeling."""
+    pairs = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("g", "h"),
+             ("h", "f"), ("i", "a"), ("x", "y")]
+    e = _edges(spark, pairs)
+    fast = {(r["node"], r["component"])
+            for r in connected_components(e).collect()}
+    dist = {(r["node"], r["component"])
+            for r in connected_components(e, small_graph_threshold=0).collect()}
+    assert fast == dist
+
+
 def test_connected_components_star_matches_networkx(spark):
     """large-star/small-star (Kiveris et al.) produces the identical
     (node, component=min member) labeling on mixed small components."""
