@@ -71,6 +71,27 @@ from graphrag_kb_server_spark.streaming.incremental import windowed_event_counts
 
 SEP = "<SEP>"
 
+#: the reference's shipped test fixture (read-only); its own tests run
+#: centrality over this exact graph (test/lightrag/test_lightrag_centrality.py)
+DWELL1_DIR = "/root/reference/docs/dummy_projects/lightrag/dwell1/lightrag"
+
+
+def _dwell1_chunk_totals() -> list[tuple[str, int]]:
+    """(doc_id, total token count) implied by the recorded cl100k
+    windows: total = (n_chunks-1) * (1200-100) + last window's tokens."""
+    from graphrag_kb_server_spark.sources.ref_artifacts import read_kv_store
+
+    by: dict[str, list[tuple[int, int]]] = {}
+    for c in read_kv_store(f"{DWELL1_DIR}/kv_store_text_chunks.json").values():
+        by.setdefault(c["full_doc_id"], []).append(
+            (int(c["chunk_order_index"]), int(c["tokens"]))
+        )
+    out = []
+    for did, lst in sorted(by.items()):
+        lst.sort()
+        out.append((did, 1100 * (len(lst) - 1) + lst[-1][1]))
+    return out
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -817,6 +838,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_dedup(docs, "text", "doc_id").select("doc_id")
     q["dedup_minhash_drop"] = dedup_minhash_drop
 
+    # ---- reference-artifact parity (kg_ref_dwell1_*): the engine's
+    #      operators over the REAL dwell1 fixture the reference's own
+    #      tests use (test/lightrag/test_lightrag_centrality.py:7-17) —
+    #      GraphML graph (359 nodes / 303 edges), nano-vectordb entity
+    #      matrix (358×1536 float32), and the recorded tiktoken-cl100k
+    #      chunk store. Oracles recompute independently in DuckDB from
+    #      the raw artifact values (or ARE the artifact's recorded
+    #      values, for chunk windows). ----
+
+    def _dwell1_graph(spark):
+        from graphrag_kb_server_spark.sources.ref_artifacts import read_graphml
+
+        return read_graphml(
+            spark, f"{DWELL1_DIR}/graph_chunk_entity_relation.graphml"
+        )
+
+    def kg_ref_dwell1_degree(spark, sf):
+        nodes, edges = _dwell1_graph(spark)
+        return degree_centrality(edges, nodes=nodes).select(
+            "name", F.round("centrality", 6).alias("centrality")
+        )
+    q["kg_ref_dwell1_degree"] = kg_ref_dwell1_degree
+
+    def kg_ref_dwell1_betweenness(spark, sf):
+        # exact Brandes (sources = every node; fixture diameter is 15)
+        _, edges = _dwell1_graph(spark)
+        return approx_betweenness(
+            edges, num_sources=None, max_depth=16
+        ).select("name", F.round("centrality", 4).alias("centrality"))
+    q["kg_ref_dwell1_betweenness"] = kg_ref_dwell1_betweenness
+
+    def kg_ref_dwell1_components(spark, sf):
+        nodes, edges = _dwell1_graph(spark)
+        comps = connected_components(edges)
+        iso = nodes.join(
+            comps, nodes.name == comps.node, "left_anti"
+        ).select(F.col("name").alias("node"), F.col("name").alias("component"))
+        return comps.unionByName(iso)
+    q["kg_ref_dwell1_components"] = kg_ref_dwell1_components
+
+    def kg_ref_dwell1_histogram(spark, sf):
+        from graphrag_kb_server_spark.operators.graph_support import (
+            entity_type_histogram,
+        )
+
+        nodes, _ = _dwell1_graph(spark)
+        return entity_type_histogram(
+            nodes.withColumnRenamed("entity_type", "type")
+        )
+    q["kg_ref_dwell1_histogram"] = kg_ref_dwell1_histogram
+
+    def kg_ref_dwell1_topk(spark, sf):
+        from graphrag_kb_server_spark.sources.ref_artifacts import (
+            parse_nano_vectordb,
+            read_nano_vectordb,
+        )
+
+        path = f"{DWELL1_DIR}/vdb_entities.json"
+        rows, mat = parse_nano_vectordb(path)
+        vdb = read_nano_vectordb(spark, path)
+        # query = first stored entity's own vector; self dropped (the
+        # reference's k+1-then-drop-self, similar_topics.py:94-167)
+        return cosine_topk(
+            vdb.select("name", "embedding"),
+            [float(x) for x in mat[0]],
+            k=10,
+            exclude_key=("name", rows[0]["entity_name"]),
+        ).select("name", F.round("score", 6).alias("score"))
+    q["kg_ref_dwell1_topk"] = kg_ref_dwell1_topk
+
+    def kg_ref_dwell1_chunk_windows(spark, sf):
+        # The chunk store records REAL tiktoken cl100k windows
+        # (size 1200 / overlap 100). Window token counts depend only on
+        # the document's total token count, so the engine's mapInPandas
+        # chunker over synthetic docs with exactly the recorded totals
+        # must reproduce the store's per-chunk counts — the oracle is
+        # the artifact itself, not a twin of our code.
+        docs = spark.createDataFrame(
+            [
+                (did, "w" + " w" * (t - 1), "fixture")
+                for did, t in _dwell1_chunk_totals()
+            ],
+            "doc_id string, content string, file_path string",
+        )
+        return chunk_documents(
+            docs, max_token_size=1200, overlap_token_size=100
+        ).select("doc_id", "chunk_ix", "n_tokens")
+    q["kg_ref_dwell1_chunk_windows"] = kg_ref_dwell1_chunk_windows
+
     return q
 
 
@@ -895,6 +1005,181 @@ def _golden_kg_oracles() -> dict[str, str]:
          "c": "VARCHAR"},
     )
     return out
+
+
+def _dwell1_oracles() -> dict[str, str]:
+    """Oracles for the kg_ref_dwell1_* parity entries.
+
+    Graph entries pin only the artifact's RAW values (edge list / node
+    attributes parsed from the reference's GraphML) as VALUES tables and
+    recompute degree/components/histogram/betweenness independently in
+    DuckDB SQL. The chunk-windows oracle pins the artifact's recorded
+    cl100k window counts directly — ground truth produced by real
+    tiktoken, not by any code in this repo. The top-k oracle pins a
+    sequential-fold recompute over the raw float32 matrix (widened
+    per-element to double, same fold order as F.aggregate), rounded
+    engine-side in SQL like the Spark side rounds with F.round.
+    """
+    import pandas as pd
+
+    from graphrag_kb_server_spark.sources.ref_artifacts import (
+        parse_graphml,
+        parse_nano_vectordb,
+    )
+
+    def s(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    nodes, edges = parse_graphml(
+        f"{DWELL1_DIR}/graph_chunk_entity_relation.graphml"
+    )
+    node_vals = ",".join(f"({s(n['name'])})" for n in nodes)
+    type_vals = ",".join(
+        f"({s(n['name'])},{s(n.get('entity_type') or '')})" for n in nodes
+    )
+    edge_vals = ",".join(f"({s(e['src'])},{s(e['tgt'])})" for e in edges)
+
+    o: dict[str, str] = {}
+    o["kg_ref_dwell1_degree"] = f"""
+WITH nodes(name) AS (VALUES {node_vals}),
+e0(a, b) AS (VALUES {edge_vals}),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+deg AS (SELECT a AS name, count(*) AS d FROM e GROUP BY a)
+SELECT n.name,
+       round(CAST(COALESCE(d, 0) AS DOUBLE)
+             / ((SELECT count(*) FROM nodes) - 1), 6) AS centrality
+FROM nodes n LEFT JOIN deg USING (name)
+"""
+
+    o["kg_ref_dwell1_components"] = f"""
+WITH RECURSIVE
+nodes(name) AS (VALUES {node_vals}),
+e0(a, b) AS (VALUES {edge_vals}),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+n AS (SELECT DISTINCT a AS node FROM e),
+cc AS (
+  SELECT node, node AS comp FROM n
+  UNION
+  SELECT e.b AS node, cc.comp FROM cc JOIN e ON cc.node = e.a
+),
+cm AS (SELECT node, min(comp) AS component FROM cc GROUP BY node)
+SELECT node, component FROM cm
+UNION ALL
+SELECT name AS node, name AS component FROM nodes
+WHERE name NOT IN (SELECT node FROM cm)
+"""
+
+    o["kg_ref_dwell1_histogram"] = f"""
+WITH nodes(name, entity_type) AS (VALUES {type_vals})
+SELECT entity_type, count(*) AS cnt FROM nodes GROUP BY entity_type
+"""
+
+    # exact Brandes over the fixture graph, unrolled to its diameter
+    # (15) — same level-for-level construction as the g1 oracle
+    depth = 15
+    parts = [
+        f"e0(a, b) AS (VALUES {edge_vals})",
+        "e AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0)",
+        "n AS MATERIALIZED (SELECT DISTINCT a AS node FROM e)",
+        "src AS MATERIALIZED (SELECT node FROM n)",
+        "l0 AS MATERIALIZED (SELECT node AS source, node, "
+        "CAST(1.0 AS DOUBLE) AS sigma FROM src)",
+        "v0 AS MATERIALIZED (SELECT source, node FROM l0)",
+    ]
+    for d in range(1, depth + 1):
+        parts.append(
+            f"l{d} AS MATERIALIZED (\n"
+            f"  SELECT f.source, e.b AS node, SUM(f.sigma) AS sigma\n"
+            f"  FROM l{d - 1} f JOIN e ON f.node = e.a\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM v{d - 1} v "
+            f"WHERE v.source = f.source AND v.node = e.b)\n"
+            f"  GROUP BY f.source, e.b)"
+        )
+        parts.append(
+            f"v{d} AS MATERIALIZED (SELECT source, node FROM v{d - 1} "
+            f"UNION ALL SELECT source, node FROM l{d})"
+        )
+    parts.append(
+        f"d{depth} AS MATERIALIZED (SELECT source, node, sigma, "
+        f"CAST(0.0 AS DOUBLE) AS delta FROM l{depth})"
+    )
+    for d in range(depth, 0, -1):
+        parts.append(
+            f"c{d} AS MATERIALIZED (\n"
+            f"  SELECT c.source, e.b AS node, "
+            f"SUM(p.sigma / c.sigma * (1.0 + c.delta)) AS delta\n"
+            f"  FROM d{d} c JOIN e ON c.node = e.a\n"
+            f"  JOIN l{d - 1} p ON p.source = c.source AND p.node = e.b\n"
+            f"  GROUP BY c.source, e.b)"
+        )
+        parts.append(
+            f"d{d - 1} AS MATERIALIZED (\n"
+            f"  SELECT p.source, p.node, p.sigma, "
+            f"COALESCE(c.delta, 0.0) AS delta\n"
+            f"  FROM l{d - 1} p LEFT JOIN c{d} c "
+            f"ON c.source = p.source AND c.node = p.node)"
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT node, delta FROM d{d} WHERE node <> source"
+        for d in range(0, depth)
+    )
+    o["kg_ref_dwell1_betweenness"] = (
+        "WITH " + ",\n".join(parts) + f""",
+acc AS (SELECT node, delta FROM ({acc})),
+sc AS (SELECT node AS name, SUM(delta) / 2.0 AS c FROM acc GROUP BY node)
+SELECT n.node AS name, round(COALESCE(sc.c, 0.0), 4) AS centrality
+FROM n LEFT JOIN sc ON sc.name = n.node
+"""
+    )
+
+    # top-k: sequential-fold recompute (mirrors F.aggregate order);
+    # full-precision doubles pinned, rounding applied in SQL
+    rows, mat = parse_nano_vectordb(f"{DWELL1_DIR}/vdb_entities.json")
+    qv = [float(x) for x in mat[0]]
+    qname = rows[0]["entity_name"]
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc_v = 0.0
+        for x, y in zip(a, b):
+            acc_v += x * y
+        return acc_v
+
+    import math
+
+    qnorm = math.sqrt(fold_dot(qv, qv))
+    scored = []
+    for i, r in enumerate(rows):
+        name = r["entity_name"]
+        if name == qname:
+            continue
+        v = [float(x) for x in mat[i]]
+        denom = math.sqrt(fold_dot(v, v)) * qnorm
+        scored.append((name, 0.0 if denom == 0.0 else fold_dot(v, qv) / denom))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    top_vals = ",".join(f"({s(n)},{v!r})" for n, v in scored[:10])
+    o["kg_ref_dwell1_topk"] = f"""
+SELECT name, round(score, 6) AS score
+FROM (VALUES {top_vals}) AS t(name, score)
+"""
+
+    # chunk windows: the artifact's recorded cl100k counts ARE the oracle
+    from graphrag_kb_server_spark.sources.ref_artifacts import read_kv_store
+
+    recs = sorted(
+        (
+            c["full_doc_id"],
+            int(c["chunk_order_index"]),
+            int(c["tokens"]),
+        )
+        for c in read_kv_store(
+            f"{DWELL1_DIR}/kv_store_text_chunks.json"
+        ).values()
+    )
+    o["kg_ref_dwell1_chunk_windows"] = _values_oracle(
+        pd.DataFrame(recs, columns=["doc_id", "chunk_ix", "n_tokens"]),
+        {"doc_id": "VARCHAR", "chunk_ix": "INT", "n_tokens": "INT"},
+    )
+    return o
 
 
 def _planes_sql_literal() -> list[str]:
@@ -1760,6 +2045,7 @@ SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
 FROM g GROUP BY user_id
 """
 
+    o.update(_dwell1_oracles())
     return o
 
 

@@ -22,14 +22,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def degree_centrality(edges: DataFrame) -> DataFrame:
-    """(name, centrality) with centrality = degree / (n-1), ranked desc."""
+def degree_centrality(
+    edges: DataFrame, nodes: DataFrame | None = None, node_col: str = "name"
+) -> DataFrame:
+    """(name, centrality) with centrality = degree / (n-1), ranked desc.
+
+    Without ``nodes``, n counts only nodes incident to an edge. With a
+    ``nodes`` frame the networkx convention applies (the one the
+    reference's graph support uses over its loaded GraphML): the
+    denominator counts ALL nodes and isolated nodes appear at 0.0.
+    """
     deg = (
         edges.select(F.explode(F.array("src", "tgt")).alias("name"))
         .groupBy("name")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    n = deg.count()
+    if nodes is not None:
+        all_nodes = nodes.select(F.col(node_col).alias("name")).distinct()
+        n = all_nodes.count()
+        deg = all_nodes.join(deg, "name", "left").select(
+            "name", F.coalesce("degree", F.lit(0)).alias("degree")
+        )
+    else:
+        n = deg.count()
     denom = float(max(n - 1, 1))
     return deg.select(
         "name", (F.col("degree") / F.lit(denom)).alias("centrality")
