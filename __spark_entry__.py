@@ -65,6 +65,7 @@ from graphrag_kb_server_spark.operators.walks import random_walk_with_restart
 from graphrag_kb_server_spark.plans.query_pipeline import (
     GraphTables,
     QueryParams,
+    answer_query,
     kg_query,
 )
 from graphrag_kb_server_spark.streaming.incremental import windowed_event_counts
@@ -777,6 +778,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ))
     q["kg_query_context_vecpick"] = kg_query_context_vecpick
 
+    def _kg_query_inputs(spark):
+        g = _tiny_graph_tables(spark)
+        hub = g.nodes.orderBy(F.desc("mention_count"), "name").first()["name"]
+        return g, f"What is the relationship between {hub} and others?"
+
+    def kg_answer(spark, sf):
+        """Q16/Q17/Q18 end shape: the FULL answer surface — context
+        assembly → rag_response prompt → cached deterministic-echo
+        answer (reference lightrag_search.py:454-597). The echo embeds
+        md5(prompt)[:12], so the hash check pins the exact prompt and
+        context bytes, not just row content."""
+        import tempfile
+
+        g, query = _kg_query_inputs(spark)
+        res = answer_query(
+            spark, g, query, QueryParams(mode="hybrid", top_k=10),
+            cache_path=tempfile.mkdtemp(prefix="kg_answer_oracle_"),
+        )
+        rows = [("answer", 0, res["answer"])]
+        for r in res["references"]:
+            rows.append(("reference", r["reference_id"], r["file_path"]))
+        pi = res["processing_info"]
+        for k in sorted(pi):
+            rows.append(("info", 0, f"{k}={pi[k]}"))
+        return spark.createDataFrame(rows, "section string, ix int, a string")
+    q["kg_answer"] = kg_answer
+
+    def kg_answer_prompt(spark, sf):
+        """Q19 prompt-only return, pinned by md5 of the full prompt."""
+        import hashlib as _hl
+
+        g, query = _kg_query_inputs(spark)
+        res = answer_query(
+            spark, g, query,
+            QueryParams(mode="hybrid", top_k=10, only_need_prompt=True),
+        )
+        rows = [
+            ("prompt_md5", 0,
+             _hl.md5(res["prompt"].encode("utf-8")).hexdigest())
+        ]
+        for r in res["references"]:
+            rows.append(("reference", r["reference_id"], r["file_path"]))
+        return spark.createDataFrame(rows, "section string, ix int, a string")
+    q["kg_answer_prompt"] = kg_answer_prompt
+
     def g3_components(spark, sf):
         li = _t(spark, sf, "lineitem")
         # deterministic sparse sample (a LIMIT would be row-order
@@ -996,6 +1042,14 @@ def _golden_kg_oracles() -> dict[str, str]:
             {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR",
              "b": "VARCHAR", "c": "VARCHAR"},
         )
+    out["kg_answer"] = _values_oracle(
+        golden.golden_kg_answer(_GOLDEN_N_DOCS),
+        {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR"},
+    )
+    out["kg_answer_prompt"] = _values_oracle(
+        golden.golden_kg_answer_prompt(_GOLDEN_N_DOCS),
+        {"section": "VARCHAR", "ix": "INT", "a": "VARCHAR"},
+    )
     out["kg_query_context_vecpick"] = _values_oracle(
         golden.golden_kg_query_context(
             _GOLDEN_N_DOCS, mode="hybrid", chunk_pick="vector",

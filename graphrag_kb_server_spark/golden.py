@@ -409,6 +409,7 @@ def golden_kg_query_context(
     mode: str = "hybrid",
     chunk_pick: str = "weighted_polling",
     related_chunks: int = 5,
+    emit: str = "rows",
 ) -> pd.DataFrame:
     """Sequential twin of the kg_query composite the driver's
     kg_query_context entries run: stage 1 search (entity + relation
@@ -655,7 +656,66 @@ def golden_kg_query_context(
         hits = [ref_by_path[p] for p in raw.split("<SEP>") if p in ref_by_path]
         return min(hits) if hits else 0
 
-    rows = []
+    if emit == "answer":
+        # Q16/Q17/Q19 twin: assemble the full context string through
+        # the same public template contract, build the rag_response
+        # system prompt, and derive the deterministic-echo answer —
+        # pure sequential functions of the rows computed above
+        # (reference assembly lightrag_search.py:728-924, prompt
+        # :87-117, answer post-cleanup :560-590).
+        chunks_ser = [
+            {"reference_id": ref_for(r["file_path"]), "content": r["content"]}
+            for r in merged
+        ]
+        refs_ser = [
+            {
+                "reference_id": r["ref_ix"],
+                "file_path": r["file_path"],
+                "last_modified": g["path_props"][r["file_path"]],
+            }
+            for r in expanded
+        ]
+        ref_list_str = "\n".join(
+            f"[{r['reference_id']}] {r['file_path']}"
+            f" (last_modified: {r['last_modified'].isoformat()})"
+            for r in refs_ser
+            if r["reference_id"]
+        )
+        context_str = KG_QUERY_CONTEXT_TEMPLATE.format(
+            entities_str=_json_lines(
+                ctx_entities, ("entity", "type", "description")
+            ),
+            relations_str=_json_lines(
+                ctx_relations, ("entity1", "entity2", "description")
+            ),
+            text_chunks_str=_json_lines(
+                chunks_ser, ("reference_id", "content")
+            ),
+            reference_list_str=ref_list_str,
+        )
+        sys_prompt = build_rag_prompt(context_str, "Multiple Paragraphs", "")
+        prompt = f"{sys_prompt}\n\n---Question---\n{query}\n"
+        digest = _md5(prompt)[:12]
+        answer = f"[deterministic-echo {digest}] {query}".strip()
+        info = {
+            "total_entities_found": n_entities_found,
+            "total_relations_found": n_relations_found,
+            "entities_after_truncation": len(ctx_entities),
+            "relations_after_truncation": len(ctx_relations),
+            "merged_chunks_count": n_merged,
+            "final_chunks_count": len(merged),
+            "available_chunk_tokens": available,
+        }
+        return {
+            "query": query,
+            "context_md5": _md5(context_str),
+            "prompt_md5": _md5(prompt),
+            "answer": answer,
+            "references": refs_ser,
+            "info": info,
+        }
+
+    rows = []  # emit == "rows"
     for i, e in enumerate(ctx_entities):
         rows.append(("entity", i, e["entity"], e["type"], _md5(e["description"])))
     for i, r in enumerate(ctx_relations):
@@ -680,3 +740,28 @@ def golden_kg_query_context(
     for k in sorted(info):
         rows.append(("info", 0, k, str(info[k]), ""))
     return pd.DataFrame(rows, columns=["section", "ix", "a", "b", "c"])
+
+
+def golden_kg_answer(n_rows: int = 120, mode: str = "hybrid") -> pd.DataFrame:
+    """Driver-oracle frame for the end-to-end answer surface
+    (Q16 context assembly → Q17 cached echo answer): the answer string
+    embeds md5(prompt)[:12], so pinning it pins the exact prompt and
+    context bytes transitively."""
+    res = golden_kg_query_context(n_rows, mode=mode, emit="answer")
+    rows = [("answer", 0, res["answer"])]
+    for r in res["references"]:
+        rows.append(("reference", r["reference_id"], r["file_path"]))
+    for k in sorted(res["info"]):
+        rows.append(("info", 0, f"{k}={res['info'][k]}"))
+    return pd.DataFrame(rows, columns=["section", "ix", "a"])
+
+
+def golden_kg_answer_prompt(n_rows: int = 120, mode: str = "hybrid") -> pd.DataFrame:
+    """Driver-oracle frame for the Q19 prompt-only return: the full
+    rag_response prompt (system sections + context + question framing)
+    pinned by md5."""
+    res = golden_kg_query_context(n_rows, mode=mode, emit="answer")
+    rows = [("prompt_md5", 0, res["prompt_md5"])]
+    for r in res["references"]:
+        rows.append(("reference", r["reference_id"], r["file_path"]))
+    return pd.DataFrame(rows, columns=["section", "ix", "a"])

@@ -228,9 +228,8 @@ class LlmCache:
             return 0
 
     def get(self, args_hash: str) -> str | None:
-        import os
-
-        if not os.path.exists(self.path):
+        # no part-files yet (missing OR freshly-created empty dir) → miss
+        if self._part_files() == 0:
             return None
         df = self.spark.read.parquet(self.path)
         row = (
@@ -266,10 +265,20 @@ class LlmCache:
             .drop("_rk")
             .coalesce(1)
         )
+        # crash-safe swap: write compacted → move live aside → move
+        # compacted in → drop the old dir. No window where the cache
+        # data exists nowhere on disk (a crash leaves either the old
+        # dir or the compacted dir recoverable by name). The local
+        # rename/rmtree calls match the cache's contract — a
+        # single-writer local-fixture path; a cluster deployment
+        # replaces this class with a real table format's MERGE.
         tmp = f"{self.path}__compact"
+        old = f"{self.path}__old"
         latest.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
         os.rename(tmp, self.path)
+        shutil.rmtree(old)
 
 
 def answer_with_cache(
