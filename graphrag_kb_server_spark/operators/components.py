@@ -120,6 +120,7 @@ def connected_components(
     # so the at-most-one extra round is the identity.
     check_every = 2
     it = 0
+    converged = False
     while it < max_iterations:
         group = min(check_every, max_iterations - it)
         for _ in range(group):
@@ -153,7 +154,15 @@ def connected_components(
         n_changed = ck.agg(F.sum("changed")).first()[0] or 0
         labels = ck.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (labels still changing) — a partially-contracted "
+            "labeling must not be mistaken for components; raise "
+            "max_iterations (rounds ~ log2(diameter) with pointer jumping)"
+        )
 
     return labels.select("node", F.col("label").alias("component"))
 
@@ -218,6 +227,7 @@ def connected_components_star(
         )
 
     prev_fp = None
+    converged = False
     for _ in range(max_iterations):
         # lazy checkpoint: the fingerprint aggregate's job materializes
         # it — one action per round, and lineage still resets
@@ -231,8 +241,15 @@ def connected_components_star(
             ).first()
         )
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach an edge-set "
+            f"fixpoint in {max_iterations} alternations — the partial "
+            "contraction is not a valid labeling; raise max_iterations"
+        )
 
     # stars: every edge is (child, component-min); minima label themselves
     nodes = edges.select(F.col(src).alias("node")).unionByName(

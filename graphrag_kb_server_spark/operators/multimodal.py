@@ -98,7 +98,15 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= len(payload):
         ln, ctype = struct.unpack_from(">I4s", payload, pos)
         body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            # valid magic but chunk body shorter than declared — keep
+            # the decoder's ValueError contract (image_features falls
+            # back to the deterministic fake) instead of struct.error
+            # escaping and killing the whole mapInPandas task
+            raise ValueError("PNG chunk truncated")
         if ctype == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"PNG IHDR length {ln} != 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = body
@@ -133,22 +141,32 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
             pass
         elif f == 2:  # up — vectorized, uint8 wraps mod 256
             cur += prev
-        elif f == 1:  # sub
+        elif f == 1:  # sub — per-channel running sum along the row;
+            # cumsum with dtype=uint8 accumulates mod 256, which IS the
+            # spec's wrap semantics, so the whole row is one numpy op
+            cur = np.cumsum(
+                cur.reshape(-1, nch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 3:  # average — sequential recurrence (floor makes it
+            # nonlinear, no closed form); run over python ints from
+            # tolist() instead of numpy scalar indexing (~10× per byte)
+            c_l, p_l = cur.tolist(), prev.tolist()
+            for i in range(nch):
+                c_l[i] = (c_l[i] + (p_l[i] >> 1)) & 0xFF
             for i in range(nch, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - nch])) & 0xFF
-        elif f == 3:  # average
-            for i in range(stride):
-                left = int(cur[i - nch]) if i >= nch else 0
-                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # paeth
-            for i in range(stride):
-                a = int(cur[i - nch]) if i >= nch else 0
-                b = int(prev[i])
-                c = int(prev[i - nch]) if i >= nch else 0
+                c_l[i] = (c_l[i] + ((c_l[i - nch] + p_l[i]) >> 1)) & 0xFF
+            cur = np.asarray(c_l, dtype=np.uint8)
+        elif f == 4:  # paeth — same sequential-int strategy
+            c_l, p_l = cur.tolist(), prev.tolist()
+            for i in range(nch):
+                c_l[i] = (c_l[i] + p_l[i]) & 0xFF  # a=c=0 → pred=b
+            for i in range(nch, stride):
+                a, b, c = c_l[i - nch], p_l[i], p_l[i - nch]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (int(cur[i]) + pred) & 0xFF
+                c_l[i] = (c_l[i] + pred) & 0xFF
+            cur = np.asarray(c_l, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter byte {f}")
         out[y] = cur

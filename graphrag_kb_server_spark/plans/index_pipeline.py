@@ -124,12 +124,18 @@ def run_index(
         # (a silent second pass of the UDF work the Observation exists to
         # avoid), and the pre-write plan partitioning isn't the on-disk
         # layout anyway.
-        n_files = sum(
-            1
-            for _dir, _sub, files in os.walk(path)
-            for fname in files
-            if fname.startswith("part-")
-        )
+        if os.path.isdir(path):
+            n_files = sum(
+                1
+                for _dir, _sub, files in os.walk(path)
+                for fname in files
+                if fname.startswith("part-")
+            )
+        else:
+            # non-local out_dir (hdfs://, s3a://): os.walk can't see it;
+            # record null so the sidecar distinguishes "unknown" from
+            # "one file" instead of silently degrading to 0
+            n_files = None
         res.metrics.append(
             {
                 "stage": name,
