@@ -27,6 +27,7 @@ from graphrag_kb_server_spark import corpus as corpus_mod
 from graphrag_kb_server_spark.functions import hashing as H
 from graphrag_kb_server_spark.functions import text as TXT
 from graphrag_kb_server_spark.functions import vectors as V
+from graphrag_kb_server_spark.functions.windows import bounded_global
 from graphrag_kb_server_spark.operators import textstats as TS
 from graphrag_kb_server_spark.operators.centrality import (
     approx_betweenness,
@@ -261,12 +262,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- Q6: round-robin merge + dedup ----
     def q6_round_robin(spark, sf):
         cust = _t(spark, sf, "customer")
+        # branches are top-k-limited BEFORE ranking (the product-path
+        # contract, truncation.py:16-21): the limit is a
+        # TakeOrderedAndProject, so the global rank window only ever
+        # sees a bounded input
         b0 = rank_branch(
-            cust.select("c_custkey", "c_acctbal"),
+            cust.select("c_custkey", "c_acctbal")
+            .orderBy(F.desc("c_acctbal"), "c_custkey").limit(100),
             [F.desc("c_acctbal"), "c_custkey"], 0,
         ).where(F.col("_pos") < 20).select("c_custkey", "_pos", "_branch")
         b1 = rank_branch(
-            cust.select("c_custkey", F.col("c_name").alias("nm")),
+            cust.select("c_custkey", F.col("c_name").alias("nm"))
+            .orderBy("nm", "c_custkey").limit(100),
             ["nm", "c_custkey"], 1,
         ).where(F.col("_pos") < 20).select("c_custkey", "_pos", "_branch")
         return round_robin_merge([b0, b1], ["c_custkey"]).select(
@@ -293,7 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sel = (
             orders.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(50)
             .withColumn("merge_ix", F.row_number().over(
-                Window.orderBy(F.desc("o_totalprice"), "o_orderkey")) - 1)
+                bounded_global(F.desc("o_totalprice"), "o_orderkey")) - 1)
         )
         prov = (
             sel.join(li, sel.o_orderkey == li.l_orderkey)
@@ -316,7 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ent = (
             cust.orderBy(F.desc("c_acctbal"), "c_custkey").limit(10)
             .withColumn("rank", F.row_number().over(
-                Window.orderBy(F.desc("c_acctbal"), "c_custkey")) - 1)
+                bounded_global(F.desc("c_acctbal"), "c_custkey")) - 1)
             .select(F.col("c_custkey").alias("name"), "rank")
         )
         quotas = gradient_quotas(ent, "rank", total_budget_per_entity=3)
@@ -656,7 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ranked.withColumn(
             "rank",
             F.row_number().over(
-                Window.orderBy(
+                bounded_global(
                     F.desc(
                         F.when(F.col("relevancy_score") == "very_high", 100)
                         .when(F.col("relevancy_score") == "high", 75)

@@ -23,6 +23,8 @@ import json
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.windows import bounded_global
+
 from .. import GRAPH_FIELD_SEP
 from ..functions import vectors as V
 from ..functions.embedding import embed_text
@@ -58,7 +60,7 @@ def reference_list(
     """Q15 — (ref_ix, file_path, last_modified) numbered reference rows;
     last_modified joined from the path-properties table (for webtext the
     authoritative source is ``warc_ts`` — P12)."""
-    w = Window.orderBy(order_col)
+    w = bounded_global(order_col)
     refs = (
         surviving_chunks.select("file_path", order_col)
         .withColumn("_rk", F.row_number().over(Window.partitionBy("file_path").orderBy(order_col)))
@@ -95,13 +97,13 @@ def dedup_by_content_combine(
     unioned = tagged_parts[0]
     for p in tagged_parts[1:]:
         unioned = unioned.unionByName(p)
-    pos_w = Window.orderBy("_part", *order_cols)
+    pos_w = bounded_global("_part", *order_cols)
     tagged = unioned.withColumn("_pos", F.row_number().over(pos_w))
     first_w = Window.partitionBy(*content_cols).orderBy("_pos")
     out = (
         tagged.withColumn("_rk", F.row_number().over(first_w))
         .where(F.col("_rk") == 1)
-        .withColumn(id_col, F.row_number().over(Window.orderBy("_pos")))
+        .withColumn(id_col, F.row_number().over(bounded_global("_pos")))
         .drop("_pos", "_rk", "_part")
     )
     return out

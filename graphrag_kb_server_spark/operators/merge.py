@@ -19,10 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.windows import bounded_global
+
 
 def rank_branch(df: DataFrame, order_cols: list, branch: int) -> DataFrame:
     """Attach 0-based rank within a branch by an explicit ordering."""
-    w = Window.orderBy(*order_cols)
+    w = bounded_global(*order_cols)
     return df.withColumn("_pos", F.row_number().over(w) - 1).withColumn(
         "_branch", F.lit(branch)
     )
@@ -52,7 +54,7 @@ def round_robin_merge(
         .where(F.col("_rk") == 1)
         .drop("_rk")
     )
-    out_w = Window.orderBy("_interleave")
+    out_w = bounded_global("_interleave")
     return (
         first.withColumn("merge_ix", F.row_number().over(out_w) - 1)
         .drop("_pos", "_branch", "_interleave")

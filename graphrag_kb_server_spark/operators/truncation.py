@@ -26,6 +26,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.windows import bounded_global
 from pyspark.sql import types as T
 
 from ..tokenizer import count_tokens
@@ -47,8 +49,8 @@ def truncate_by_token_budget(
     count ≤ budget. ``keep_at_least_one`` mirrors the reference behavior
     of never returning an empty context when the first row alone
     overflows the budget."""
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    pos_w = Window.orderBy(order_col)
+    w = bounded_global(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    pos_w = bounded_global(order_col)
     out = (
         df.withColumn("_tok", token_count_udf(F.col(text_col)))
         .withColumn("_cum", F.sum("_tok").over(w))
@@ -68,7 +70,7 @@ def cumulative_prefix_by_budget(
 ) -> DataFrame:
     """Generic running-sum prefix filter on a numeric column (used by the
     oracle-checked entry queries; same window shape as the token path)."""
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_global(order_col).rowsBetween(Window.unboundedPreceding, 0)
     return (
         df.withColumn("_cum", F.sum(weight_col).over(w))
         .where(F.col("_cum") <= budget)

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.windows import bounded_global
+
 
 def _adjacency(edges: DataFrame) -> DataFrame:
     """(node, neighbors ARRAY<STRING> sorted, degree)"""
@@ -140,7 +142,7 @@ def panther_similarity(
     spark = edges.sparkSession
     adj = _adjacency(edges).localCheckpoint(eager=False)
     node_ids = adj.select("node").withColumn(
-        "_ix", F.row_number().over(Window.orderBy("node")) - 1
+        "_ix", F.row_number().over(bounded_global("node")) - 1
     )
     n_nodes = node_ids.count()
 

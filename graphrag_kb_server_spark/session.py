@@ -64,4 +64,19 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # The query-path merge/truncation/polling operators rank BOUNDED
+    # (top-k-limited by construction) inputs with global-ordering
+    # windows — functions/windows.bounded_global documents the
+    # contract. WindowExec warns "No Partition Defined" on every
+    # execution of those by design-single-partition windows (a constant
+    # partitionBy key is constant-folded away, so the warning cannot be
+    # avoided plan-side); demote that one logger so real warnings stay
+    # readable in bench/driver tails.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.log4j.LogManager.getLogger(
+            "org.apache.spark.sql.execution.window.WindowExec"
+        ).setLevel(jvm.org.apache.log4j.Level.ERROR)
+    except Exception:
+        pass  # log4j1 bridge absent — warnings are cosmetic only
     return spark
