@@ -214,10 +214,24 @@ class LlmCache:
     cache would sit on a real table format's MERGE instead.
     """
 
+    #: per-process instance memo — answer_query reuses ONE LlmCache (and
+    #: its cached parquet DataFrame) per path instead of re-listing and
+    #: re-reading the cache directory on every query
+    _instances: dict = {}
+
+    @classmethod
+    def for_path(cls, spark, path: str, compact_every: int = 64) -> "LlmCache":
+        inst = cls._instances.get(path)
+        if inst is None or inst.spark is not spark:
+            inst = cls(spark, path, compact_every)
+            cls._instances[path] = inst
+        return inst
+
     def __init__(self, spark, path: str, compact_every: int = 64):
         self.spark = spark
         self.path = path
         self.compact_every = compact_every
+        self._df = None  # cached reader view; invalidated on put/compact
 
     def _part_files(self) -> int:
         import os
@@ -229,11 +243,25 @@ class LlmCache:
         except FileNotFoundError:
             return 0
 
+    def _view(self):
+        """Spark-cached view of the cache table, built once per
+        generation (invalidated by put/compact): repeated gets skip the
+        file listing + parquet scan after the first."""
+        if self._df is None:
+            if self._part_files() == 0:
+                return None
+            self._df = self.spark.read.parquet(self.path).cache()
+        return self._df
+
+    def _invalidate(self) -> None:
+        if self._df is not None:
+            self._df.unpersist()
+            self._df = None
+
     def get(self, args_hash: str) -> str | None:
-        # no part-files yet (missing OR freshly-created empty dir) → miss
-        if self._part_files() == 0:
+        df = self._view()
+        if df is None:
             return None
-        df = self.spark.read.parquet(self.path)
         row = (
             df.where(F.col("args_hash") == args_hash)
             .orderBy(F.desc("written_at"))
@@ -248,6 +276,7 @@ class LlmCache:
         ).withColumn("written_at", F.current_timestamp()).write.mode(
             "append"
         ).parquet(self.path)
+        self._invalidate()
         if self.compact_every and self._part_files() >= self.compact_every:
             self.compact()
 
@@ -281,6 +310,7 @@ class LlmCache:
         os.rename(self.path, old)
         os.rename(tmp, self.path)
         shutil.rmtree(old)
+        self._invalidate()
 
 
 def answer_with_cache(

@@ -522,7 +522,13 @@ def kg_query(
     if merged_chunks is not None:
         # Q15/Q21: numbered reference list (+ last_modified from the
         # path-properties table, lightrag_search.py:826-861) with <SEP>
-        # expansion; each surviving chunk carries its reference_id
+        # expansion; each surviving chunk carries its reference_id.
+        # Both stage-4 reads (reference rows AND chunk rows) are folded
+        # into ONE action: a tagged union over the checkpointed
+        # merged_chunks, so the online path runs one driver job here
+        # instead of two (both sides are trivial scans of the same
+        # checkpoint; the refs side adds only the small
+        # path_properties broadcast join).
         from ..operators.context_ops import expand_file_references, reference_list
 
         refs = expand_file_references(reference_list(merged_chunks))
@@ -532,13 +538,26 @@ def kg_query(
                 "file_path",
                 "left",
             )
-        ref_rows = refs.orderBy("ref_ix").collect()
+        ref_part = refs.select(
+            F.lit("ref").alias("_sec"), F.col("ref_ix").alias("_ix"),
+            "file_path", "last_modified",
+            F.lit(None).cast("string").alias("chunk_id"),
+            F.lit(None).cast("string").alias("content"),
+        )
+        chunk_part = merged_chunks.select(
+            F.lit("chunk").alias("_sec"), F.col("merge_ix").alias("_ix"),
+            "file_path", F.lit(None).cast("timestamp").alias("last_modified"),
+            "chunk_id", "content",
+        )
+        all_rows = ref_part.unionByName(chunk_part).orderBy("_sec", "_ix").collect()
+        ref_rows = [r for r in all_rows if r["_sec"] == "ref"]
+        chunk_rows = [r for r in all_rows if r["_sec"] == "chunk"]
         ctx.references = [
-            {"reference_id": r["ref_ix"], "file_path": r["file_path"],
+            {"reference_id": r["_ix"], "file_path": r["file_path"],
              "last_modified": r["last_modified"]}
             for r in ref_rows
         ]
-        ref_by_path = {r["file_path"]: r["ref_ix"] for r in ref_rows}
+        ref_by_path = {r["file_path"]: r["_ix"] for r in ref_rows}
 
         def _ref_for(raw_path: str) -> int:
             # a chunk's file_path may be a <SEP>-joined multi-file
@@ -557,7 +576,7 @@ def kg_query(
             {"reference_id": _ref_for(r["file_path"]),
              "content": r["content"], "chunk_id": r["chunk_id"],
              "file_path": r["file_path"]}
-            for r in merged_chunks.orderBy("merge_ix").collect()
+            for r in chunk_rows
         ]
     ctx.processing_info = {
         "total_entities_found": n_entities_found,
@@ -621,7 +640,7 @@ def answer_query(
         return {"prompt": prompt, "references": ctx.references,
                 "raw_data": ctx.raw_data(),
                 "processing_info": ctx.processing_info}
-    cache = LlmCache(spark, cache_path or "/tmp/kgspark_llm_cache")
+    cache = LlmCache.for_path(spark, cache_path or "/tmp/kgspark_llm_cache")
     answer = answer_with_cache(
         cache, params.mode, query,
         {"top_k": attempt_params.top_k}, context_str, llm_fn=llm_fn,
