@@ -388,22 +388,46 @@ def kg_query(
     hl, ll = extract_keywords_hl_ll(query, user_keywords)
     ctx = QueryContext(keywords=keywords, keywords_hl=hl, keywords_ll=ll, mode=mode)
     n_entities_found = n_relations_found = 0
+    # Both truncated branches materialize in ONE tagged-union
+    # checkpoint (their independent sub-plans run as parallel stages of
+    # a single job — the asyncio.gather analogue made literal) and the
+    # driver reads the result back in ONE collect; the per-branch
+    # views below are trivial filters over the checkpointed RDD.
+    ent_cols = ["name", "type", "description", "degree",
+                "source_chunk_ids", "merge_ix"]
+    rel_cols = ["src", "tgt", "keywords", "description", "weight",
+                "combined_degree", "source_chunk_ids", "merge_ix"]
+    parts = []
     if entities is not None:
-        entities = entities.localCheckpoint(eager=True)
-        ctx.entities = [
-            {"entity": r["name"], "type": r["type"],
-             "description": r["description"]}
-            for r in entities.orderBy("merge_ix").collect()
-        ]
-        n_entities_found = int(ent_obs.get["n"])
+        parts.append(
+            entities.select(*ent_cols).withColumn("_sec", F.lit("ent"))
+        )
     if relations is not None:
-        relations = relations.localCheckpoint(eager=True)
-        ctx.relations = [
-            {"entity1": r["src"], "entity2": r["tgt"],
-             "description": r["description"]}
-            for r in relations.orderBy("merge_ix").collect()
-        ]
-        n_relations_found = int(rel_obs.get["n"])
+        parts.append(
+            relations.select(*rel_cols).withColumn("_sec", F.lit("rel"))
+        )
+    if parts:
+        both = parts[0]
+        for p in parts[1:]:
+            both = both.unionByName(p, allowMissingColumns=True)
+        both = both.localCheckpoint(eager=True)
+        rows = both.orderBy("_sec", "merge_ix").collect()
+        if entities is not None:
+            entities = both.where(F.col("_sec") == "ent").select(*ent_cols)
+            ctx.entities = [
+                {"entity": r["name"], "type": r["type"],
+                 "description": r["description"]}
+                for r in rows if r["_sec"] == "ent"
+            ]
+            n_entities_found = int(ent_obs.get["n"])
+        if relations is not None:
+            relations = both.where(F.col("_sec") == "rel").select(*rel_cols)
+            ctx.relations = [
+                {"entity1": r["src"], "entity2": r["tgt"],
+                 "description": r["description"]}
+                for r in rows if r["_sec"] == "rel"
+            ]
+            n_relations_found = int(rel_obs.get["n"])
 
     # ── Stage 3: chunk gathering + merge (Q9/Q10/Q11/Q13) ────────────
     chunk_branches: list[DataFrame] = []
