@@ -1925,20 +1925,31 @@ SELECT id_a, id_b, nibble_hamming FROM pairs WHERE nibble_hamming <= 6
     # integer-valued l_quantity sums, bit-identical in any order — and
     # ties break on (wsum DESC, label), matching
     # operators/communities.py:label_propagation.
+    # SEMI-synchronous LPA mirror (operators/communities.py
+    # label_propagation): round r updates only nodes whose md5-prefix
+    # parity equals r % LPA_STRIDE; rank (wsum desc, label asc).
+    from graphrag_kb_server_spark.operators.communities import LPA_STRIDE
+
     lpa_layers = []
     prev_l = "l0"
-    for i in range(1, 11):
+    n_lpa_rounds = 12  # label_propagation default max_iterations
+    for i in range(1, n_lpa_rounds + 1):
         # AS MATERIALIZED: each layer is referenced twice; letting the
         # optimizer inline it would duplicate the whole chain per level
-        # (2^10 blowup — measured 190s vs <2s materialized)
+        # (2^12 blowup — measured 190s vs <2s materialized)
         lpa_layers.append(
             f"b{i} AS MATERIALIZED (\n"
             f"  SELECT s.a AS node, l.label AS new_label,\n"
             f"         row_number() OVER (\n"
-            f"           PARTITION BY s.a ORDER BY sum(s.w) DESC, l.label\n"
+            f"           PARTITION BY s.a ORDER BY sum(s.w) DESC,\n"
+            f"             CASE WHEN l.label = cur.label THEN 0 ELSE 1 END,\n"
+            f"             l.label\n"
             f"         ) AS rk\n"
             f"  FROM sym s JOIN {prev_l} l ON l.node = s.b\n"
-            f"  GROUP BY s.a, l.label\n"
+            f"  JOIN {prev_l} cur ON cur.node = s.a\n"
+            f"  WHERE CAST(concat('0x', substr(md5(s.a), 1, 8)) AS BIGINT)"
+            f" % {LPA_STRIDE} = {(i - 1) % LPA_STRIDE}\n"
+            f"  GROUP BY s.a, l.label, cur.label\n"
             f"  QUALIFY rk = 1\n"
             f"),\n"
             f"l{i} AS MATERIALIZED (\n"
@@ -1961,7 +1972,7 @@ sym AS (
 ),
 l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
 {",".join(lpa_layers)}
-SELECT label, count(*) AS size FROM l10 GROUP BY label
+SELECT label, count(*) AS size FROM l12 GROUP BY label
 """
 
     # g4 random walk with restart, mirrored exactly: the walk's
