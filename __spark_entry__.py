@@ -961,6 +961,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("name", F.round("score", 6).alias("score"))
     q["kg_ref_dwell1_topk"] = kg_ref_dwell1_topk
 
+    def kg_export_roundtrip(spark, sf):
+        """S5 sink+scan identity: export a graph built from TPC-H rows
+        to GraphML (sources/exports.to_graphml), scan it back
+        (sources/ref_artifacts.read_graphml), and return the parsed
+        rows — the DuckDB oracle computes the expected rows directly
+        from the source tables, so the hash check proves the
+        write→parse round trip is lossless (incl. XML escaping and the
+        500-char description truncation)."""
+        import os
+        import tempfile
+
+        from graphrag_kb_server_spark.sources.exports import to_graphml
+        from graphrag_kb_server_spark.sources.ref_artifacts import read_graphml
+
+        nation = _t(spark, sf, "nation")
+        region = _t(spark, sf, "region")
+        nodes = nation.select(
+            F.col("n_name").alias("name"),
+            F.lit("nation").alias("type"),
+            F.col("n_comment").alias("description"),
+        )
+        edges = nation.join(
+            region, nation.n_regionkey == region.r_regionkey
+        ).select(
+            F.col("n_name").alias("src"),
+            F.col("r_name").alias("tgt"),
+            F.lit(1.0).alias("weight"),
+            F.lit("member").alias("keywords"),
+        )
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="kg_graphml_rt_"), "g.graphml"
+        )
+        to_graphml(nodes, edges, path)
+        rnodes, redges = read_graphml(spark, path)
+        node_rows = rnodes.select(
+            F.lit("node").alias("kind"),
+            F.col("name").alias("a"),
+            F.col("entity_type").alias("b"),
+            F.col("description").alias("c"),
+        )
+        edge_rows = redges.select(
+            F.lit("edge").alias("kind"),
+            F.col("src").alias("a"),
+            F.col("tgt").alias("b"),
+            F.concat("keywords", F.lit("|"), F.round("weight", 1).cast("string")).alias("c"),
+        )
+        return node_rows.unionByName(edge_rows)
+    q["kg_export_roundtrip"] = kg_export_roundtrip
+
     def kg_ref_dwell1_chunk_windows(spark, sf):
         # The chunk store records REAL tiktoken cl100k windows
         # (size 1200 / overlap 100). Window token counts depend only on
@@ -2115,6 +2164,15 @@ WITH g AS (
 SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM g GROUP BY user_id
+"""
+
+    o["kg_export_roundtrip"] = """
+SELECT 'node' AS kind, n_name AS a, 'nation' AS b,
+       substr(n_comment, 1, 500) AS c
+FROM nation
+UNION ALL
+SELECT 'edge', n_name, r_name, 'member|1.0'
+FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
     o.update(_dwell1_oracles())
