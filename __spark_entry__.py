@@ -977,10 +977,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         nation = _t(spark, sf, "nation")
         region = _t(spark, sf, "region")
+        # description deliberately contains XML-escape-needing chars
+        # (& < >) so the hash check proves escaping round-trips
         nodes = nation.select(
             F.col("n_name").alias("name"),
             F.lit("nation").alias("type"),
-            F.col("n_comment").alias("description"),
+            F.concat(
+                F.col("n_name"), F.lit(" <&> #"),
+                F.col("n_nationkey").cast("string"),
+            ).alias("description"),
         )
         edges = nation.join(
             region, nation.n_regionkey == region.r_regionkey
@@ -2168,7 +2173,7 @@ FROM g GROUP BY user_id
 
     o["kg_export_roundtrip"] = """
 SELECT 'node' AS kind, n_name AS a, 'nation' AS b,
-       substr(n_comment, 1, 500) AS c
+       n_name || ' <&> #' || CAST(n_nationkey AS VARCHAR) AS c
 FROM nation
 UNION ALL
 SELECT 'edge', n_name, r_name, 'member|1.0'
