@@ -853,6 +853,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return component_sizes(connected_components_star(edges))
     q["g3_components_star"] = g3_components_star
 
+    def g3_components_minlabel(spark, sf):
+        # the DISTRIBUTED min-label + pointer-jump loop, force-exercised
+        # below the size-adaptive threshold (same oracle as the driver
+        # union-find path — the guard must be pure execution strategy)
+        li = _t(spark, sf, "lineitem")
+        edges = li.where("l_orderkey % 97 = 0").select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("tgt"),
+        ).distinct()
+        return component_sizes(
+            connected_components(edges, small_graph_threshold=0)
+        )
+    q["g3_components_minlabel"] = g3_components_minlabel
+
     def g2_lpa_communities(spark, sf):
         # deterministic sparse sample (a LIMIT would be row-order
         # dependent: round-1 runs recorded 199 vs 200 output rows)
@@ -863,6 +877,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         labels = label_propagation(edges)
         return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
     q["g2_lpa_communities"] = g2_lpa_communities
+
+    def g2_lpa_distributed(spark, sf):
+        # same rounds via the DISTRIBUTED parity-class implementation
+        # (size-adaptive guard forced off); identical oracle
+        m = _mentions_from_lineitem(spark, sf).where(
+            F.col("chunk_id").substr(-1, 1).isin("0", "5")
+        )
+        edges = build_edges(m)
+        labels = label_propagation(edges, small_graph_threshold=0)
+        return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    q["g2_lpa_distributed"] = g2_lpa_distributed
 
     def g4_random_walk(spark, sf):
         m = _mentions_from_lineitem(spark, sf)
@@ -2179,6 +2204,9 @@ UNION ALL
 SELECT 'edge', n_name, r_name, 'member|1.0'
 FROM nation JOIN region ON n_regionkey = r_regionkey
 """
+
+    o["g3_components_minlabel"] = o["g3_components"]
+    o["g2_lpa_distributed"] = o["g2_lpa_communities"]
 
     o.update(_dwell1_oracles())
     return o
