@@ -677,6 +677,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["p6_relevance_rank"] = p6_relevance_rank
 
+    def p2_match_score(spark, sf):
+        """P2 deterministic scoring stub (pure Catalyst twin of the LLM
+        match slot, matching.py:137-179): word-overlap score + md5
+        epsilon, threshold 0.5, dedup by entity."""
+        from graphrag_kb_server_spark.operators.personalization import (
+            match_and_score,
+        )
+
+        part = _t(spark, sf, "part")
+        cands = part.select(F.col("p_name").alias("entity_id")).distinct()
+        out = match_and_score(cands, profile="red blue small widget gear")
+        return out.select(
+            "entity_id", F.round("score", 6).alias("score"), "abstraction"
+        )
+    q["p2_match_score"] = p2_match_score
+
+    def p7_doc_summaries(spark, sf):
+        """P7 deterministic summary slot (first-2-sentences + question
+        digest, search_documents.py:94-135), md5-pinned per doc."""
+        from graphrag_kb_server_spark.operators.personalization import (
+            summarize_documents,
+        )
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        out = summarize_documents(
+            docs, profile="analyst", question="What changed this quarter?"
+        )
+        return out.select("doc_id", F.md5("summary").alias("summary_md5"))
+    q["p7_doc_summaries"] = p7_doc_summaries
+
+    def p10_questions(spark, sf):
+        """P10 deterministic question templates per topic
+        (question_generation_service.py:24-83), exploded to rows."""
+        from graphrag_kb_server_spark.operators.personalization import (
+            generate_questions,
+        )
+
+        part = _t(spark, sf, "part")
+        topics = (
+            part.select(F.col("p_type").alias("name")).distinct()
+        )
+        out = generate_questions(topics, n_per_topic=3)
+        return out.select(
+            "name", F.explode("questions").alias("question")
+        )
+    q["p10_questions"] = p10_questions
+
     # ---- rows-only entries (iterative / UDF-bearing; no SQL oracle) ----
     def kg_chunks(spark, sf):
         g = _tiny_graph_tables(spark)
@@ -2207,6 +2256,53 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 
     o["g3_components_minlabel"] = o["g3_components"]
     o["g2_lpa_distributed"] = o["g2_lpa_communities"]
+
+    # P2 scoring stub: word-set overlap + md5-prefix epsilon, exactly
+    # as personalization._score_columns computes it in Catalyst
+    profile_words = "','".join(sorted(set("red blue small widget gear".split())))
+    o["p2_match_score"] = f"""
+WITH c AS (SELECT DISTINCT p_name AS entity_id FROM part),
+sc AS (
+  SELECT entity_id,
+    list_distinct(string_split_regex(lower(trim(entity_id)), '\\s+')) AS ew,
+    CAST(concat('0x', substr(md5(entity_id), 1, 4)) AS BIGINT) / 65535.0 * 0.01
+      AS eps
+  FROM c
+),
+s2 AS (
+  SELECT entity_id,
+    len(list_intersect(ew, ['{profile_words}'])) AS ovl,
+    greatest(len(ew), 1) AS n_ew, eps
+  FROM sc
+)
+SELECT entity_id,
+  round(CASE WHEN ovl > 0
+        THEN least(CAST(ovl AS DOUBLE) / n_ew + 0.5 + eps, 1.0)
+        ELSE 0.3 + eps END, 6) AS score,
+  CASE WHEN n_ew = 1 THEN 'high' ELSE 'low' END AS abstraction
+FROM s2
+WHERE (CASE WHEN ovl > 0
+       THEN least(CAST(ovl AS DOUBLE) / n_ew + 0.5 + eps, 1.0)
+       ELSE 0.3 + eps END) > 0.5
+"""
+
+    # P7 summary stub: first two '. '-split sentences + question tag
+    o["p7_doc_summaries"] = """
+SELECT doc_id,
+  md5(array_to_string(string_split_regex(text, '\\. ')[1:2], '. ')
+      || ' [re: What changed this quarter?]') AS summary_md5
+FROM documents
+"""
+
+    # P10 question templates
+    o["p10_questions"] = """
+WITH t AS (SELECT DISTINCT p_type AS name FROM part)
+SELECT name, q AS question FROM t, UNNEST([
+  'What is ' || name || '?',
+  'How does ' || name || ' relate to other entities?',
+  'Why is ' || name || ' significant?'
+]) AS u(q)
+"""
 
     o.update(_dwell1_oracles())
     return o
