@@ -1666,27 +1666,65 @@ SELECT doc_id, nchars, nwords,
 FROM f
 """
 
-    lang_markers = {
-        "en": ["the", "and", "of", "to", "in", "is", "with", "for"],
-        "de": ["der", "die", "das", "und", "ist", "mit", "für", "nicht"],
-        "fr": ["le", "la", "les", "et", "est", "dans", "pour", "une"],
-        "es": ["el", "la", "los", "que", "es", "con", "para", "una"],
-    }
+    # language-ID mirror: same two-stage cascade as textstats.language_id
+    # (dominant non-Latin script → Unicode-block language; else Latin
+    # stopword-marker scoring), marker/range tables imported so the two
+    # sides can never drift — the independence is in the DuckDB
+    # formulation (list_intersect + regexp char-class counts).
+    from graphrag_kb_server_spark.operators.textstats import (
+        _LANG_MARKERS as lang_markers,
+        _LATIN_CLASS as latin_class,
+        _SCRIPT_RANGES as script_ranges,
+    )
+
     hit_exprs = {
         lang: (
             "len(list_intersect(list_distinct("
-            "string_split_regex(lower(text), '[^a-zà-ÿäöüß]+')), ["
+            f"string_split_regex(lower(text), '[^{latin_class}]+')), ["
             + ",".join(f"'{m}'" for m in ms)
             + "]))"
         )
         for lang, ms in sorted(lang_markers.items())
     }
     best = "greatest(" + ",".join(hit_exprs.values()) + ")"
-    case = "CASE "
+    latin_case = "CASE "
     for lang in sorted(lang_markers):  # earlier langs win ties
-        case += f"WHEN {hit_exprs[lang]} = {best} AND {best} > 0 THEN '{lang}' "
-    case += "ELSE 'und' END"
-    o["text_lang_id"] = f"SELECT doc_id, {case} AS lang_pred FROM documents"
+        latin_case += f"WHEN {hit_exprs[lang]} = {best} AND {best} > 0 THEN '{lang}' "
+    latin_case += "ELSE 'und' END"
+
+    def cc(char_class: str, col: str = "text") -> str:
+        return f"length(regexp_replace({col}, '[^{char_class}]', '', 'g'))"
+
+    script_exprs = {code: cc(rng) for code, rng in script_ranges.items()}
+    best_script = "greatest(" + ",".join(script_exprs.values()) + ")"
+    script_case = "CASE "
+    # zh-with-kana → ja takes precedence exactly like the Spark rewrite
+    for code in sorted(script_exprs):
+        extra = ""
+        if code == "zh":
+            extra = f"AND {script_exprs['ja']} = 0 "
+        prior = ""
+        for earlier in sorted(script_exprs):
+            if earlier == code:
+                break
+            prior += f"AND NOT ({script_exprs[earlier]} = {best_script}) "
+        script_case += (
+            f"WHEN {script_exprs[code]} = {best_script} AND {best_script} > 0 "
+            f"{prior}{extra}THEN '{code}' "
+        )
+    script_case += (
+        f"WHEN {script_exprs['zh']} = {best_script} AND {best_script} > 0 "
+        f"THEN 'ja' "  # zh won the tie order but kana present
+    )
+    script_case += "ELSE 'und' END"
+    nonlat_total = " + ".join(script_exprs.values())
+    o["text_lang_id"] = f"""
+SELECT doc_id,
+  CASE WHEN ({nonlat_total}) > {cc(latin_class, 'lower(text)')}
+       THEN {script_case}
+       ELSE {latin_case} END AS lang_pred
+FROM documents
+"""
 
     o["text_token_counts"] = r"""
 SELECT doc_id,

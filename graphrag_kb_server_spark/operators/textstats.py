@@ -23,12 +23,38 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import rolling_fingerprint
 
+#: stopword markers for the 12 highest-web-share LATIN-script languages
+#: (distinctive small sets; ties broken by code order, deterministic)
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is", "with", "for"],
     "de": ["der", "die", "das", "und", "ist", "mit", "für", "nicht"],
     "fr": ["le", "la", "les", "et", "est", "dans", "pour", "une"],
     "es": ["el", "la", "los", "que", "es", "con", "para", "una"],
+    "pt": ["não", "uma", "com", "por", "mais", "como", "dos", "ão"],
+    "it": ["il", "gli", "che", "per", "del", "della", "sono", "anche"],
+    "nl": ["het", "een", "van", "niet", "met", "voor", "zijn", "ook"],
+    "pl": ["nie", "się", "jest", "że", "aby", "przez", "oraz", "tego"],
+    "sv": ["och", "att", "det", "som", "på", "är", "av", "inte"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "olarak", "daha", "gibi"],
+    "id": ["yang", "dan", "di", "untuk", "dengan", "ini", "tidak", "pada"],
+    "ro": ["și", "pentru", "este", "care", "sunt", "din", "mai", "să"],
 }
+
+#: non-Latin scripts → language code (dominant-script detection; a page
+#: of Chinese/Russian/Arabic text has no Latin stopwords to score)
+_SCRIPT_RANGES = {
+    "zh": "一-鿿",  # Han
+    "ja": "぀-ヿ",  # Hiragana + Katakana
+    "ko": "가-힯",  # Hangul
+    "ru": "Ѐ-ӿ",  # Cyrillic
+    "ar": "؀-ۿ",  # Arabic
+    "hi": "ऀ-ॿ",  # Devanagari
+    "el": "Ͱ-Ͽ",  # Greek
+}
+
+#: Latin letters incl. Latin-1 accents + Latin Extended-A (pl/ro/tr
+#: letters like ś ș ş ğ live in U+0100–U+017F) + dotless ı
+_LATIN_CLASS = "a-zà-ÿäöüßĀ-ſı"
 
 
 def _marker_hits(words: Column, markers: list[str]) -> Column:
@@ -36,18 +62,56 @@ def _marker_hits(words: Column, markers: list[str]) -> Column:
     return F.size(F.array_intersect(F.array_distinct(words), marker_arr))
 
 
+def _char_count(text_col: Column, char_class: str) -> Column:
+    return F.length(F.regexp_replace(text_col, f"[^{char_class}]", ""))
+
+
 def language_id(text_col: Column) -> Column:
-    """Best-scoring language code, 'und' when no markers hit.
-    Deterministic tie-break: language code order."""
-    words = F.split(F.lower(text_col), r"[^a-zà-ÿäöüß]+")
-    scores = [(_marker_hits(words, m), lang) for lang, m in sorted(_LANG_MARKERS.items())]
+    """Best-scoring language code, 'und' when nothing hits.
+
+    Two-stage web-scale cascade, all pure Catalyst:
+    1. dominant-SCRIPT detection — when non-Latin script characters
+       outnumber Latin letters, classify by the winning Unicode block
+       (zh/ja/ko/ru/ar/hi/el; Han with any kana present → ja, since
+       Japanese text mixes kanji with kana while Chinese has none);
+    2. otherwise Latin stopword-marker scoring over the 12 languages in
+       ``_LANG_MARKERS``. Deterministic tie-break: language code order.
+    """
+    lower = F.lower(text_col)
+    script_counts = {
+        code: _char_count(text_col, rng)
+        for code, rng in _SCRIPT_RANGES.items()
+    }
+    latin = _char_count(lower, _LATIN_CLASS)
+    nonlat_total = None
+    for c in script_counts.values():
+        nonlat_total = c if nonlat_total is None else nonlat_total + c
+
+    best_script = None
+    for c in script_counts.values():
+        best_script = c if best_script is None else F.greatest(best_script, c)
+    script_expr = F.lit("und")
+    for code in sorted(script_counts, reverse=True):  # earlier codes win ties
+        script_expr = F.when(
+            (script_counts[code] == best_script) & (best_script > 0),
+            F.lit(code),
+        ).otherwise(script_expr)
+    script_expr = F.when(
+        (script_expr == F.lit("zh")) & (script_counts["ja"] > 0), F.lit("ja")
+    ).otherwise(script_expr)
+
+    words = F.split(lower, f"[^{_LATIN_CLASS}]+")
+    scores = [
+        (_marker_hits(words, m), lang) for lang, m in sorted(_LANG_MARKERS.items())
+    ]
     best = scores[0][0]
     for s, _ in scores[1:]:
         best = F.greatest(best, s)
-    expr = F.lit("und")
+    latin_expr = F.lit("und")
     for s, lang in reversed(scores):  # earlier langs win ties
-        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+        latin_expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(latin_expr)
+
+    return F.when(nonlat_total > latin, script_expr).otherwise(latin_expr)
 
 
 def whitespace_token_count(text_col: Column) -> Column:

@@ -535,3 +535,38 @@ def test_ivf_multi_probe_recall_dominates(spark):
         table, queries, 50, "vec_id", "qid", n_planes=4, probe_bits=1
     ).count()
     assert n_probe > n_plain
+
+
+def test_language_id_web_scale_cascade(spark):
+    """The two-stage language-ID cascade: dominant non-Latin script →
+    Unicode-block language (with the Han+kana→Japanese rule); Latin
+    text → stopword markers across all 12 supported languages."""
+    from pyspark.sql import functions as F
+
+    from graphrag_kb_server_spark.operators.textstats import language_id
+
+    samples = [
+        ("zh", "这是一个关于知识图谱的中文文档，包含许多汉字。"),
+        ("ja", "これは日本語のドキュメントです。漢字とかなが混ざっています。"),
+        ("ko", "이것은 한국어 문서입니다. 지식 그래프에 관한 내용입니다."),
+        ("ru", "Это документ на русском языке о графах знаний."),
+        ("ar", "هذه وثيقة باللغة العربية حول الرسوم البيانية المعرفية."),
+        ("hi", "यह ज्ञान ग्राफ के बारे में एक हिंदी दस्तावेज़ है।"),
+        ("el", "Αυτό είναι ένα ελληνικό έγγραφο σχετικά με γράφους γνώσης."),
+        ("pt", "Este documento não é uma página com mais informações como dos outros."),
+        ("it", "Questo è il documento che descrive la rete per gli utenti, sono anche del tipo."),
+        ("nl", "Dit is het document van een netwerk, niet met voor zijn ook."),
+        ("pl", "To nie jest dokument, że się przez oraz tego."),
+        ("sv", "Detta är och att det som på av inte dokumentet."),
+        ("tr", "Bu bir belge ve bu için ile olarak daha gibi."),
+        ("id", "Ini yang dan di untuk dengan ini tidak pada dokumen."),
+        ("ro", "Acesta este documentul și pentru care sunt din mai să."),
+        ("en", "This is the document and of the knowledge graph with info for you."),
+        ("und", "12345 67890 !!! ???"),
+    ]
+    df = spark.createDataFrame(samples, "expected string, text string")
+    rows = df.select(
+        "expected", language_id(F.col("text")).alias("got")
+    ).collect()
+    misses = [(r["expected"], r["got"]) for r in rows if r["expected"] != r["got"]]
+    assert not misses, misses
