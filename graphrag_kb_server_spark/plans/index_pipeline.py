@@ -6,10 +6,13 @@ per-doc status tracking for resume
 (/root/reference/graphrag_kb_server/service/lightrag/lightrag_index_support.py:74-94,
 kv_store_doc_status.json artifact).
 
-Spark design: each stage materializes a parquet table (the Iceberg-shaped
-catalog of §1; plain parquet dirs here since the Iceberg jars aren't in
-the sandbox image — the writer is isolated in ``_write`` so swapping in
-``writeTo(...).using("iceberg")`` is one line). Stage boundaries are the
+Spark design: each stage materializes a table through a format-
+parametric IO seam (``_write``/``_read_table``/``_exists``, switched by
+``KGSPARK_TABLE_FORMAT``): parquet by default, ORC covered by tests,
+and an Iceberg branch (``writeTo(...).using("iceberg")`` with catalog
+identifiers) for cluster deployments with the runtime jar — the jars
+aren't in this sandbox image, so that branch is exercised only by the
+shared-seam ORC test. Stage boundaries are the
 two salted groupBys and the writes; every stage is idempotently
 resumable: reruns skip stages whose output already exists (doc-level
 incremental indexing is an anti-join against ``doc_status``, T9).
@@ -58,16 +61,44 @@ STAGES = [
 ]
 
 
+def _table_format() -> str:
+    """Stage-table format: 'parquet' (default) or 'orc' — both in the
+    sandbox image and covered by tests — or 'iceberg' for cluster
+    deployments with the runtime jar on the classpath (out_dir is then
+    a catalog namespace such as ``catalog.db``; stage names become
+    table identifiers). Every stage write/read/exists goes through the
+    three seam functions below, so the swap is the env var, not a code
+    change."""
+    return os.environ.get("KGSPARK_TABLE_FORMAT", "parquet")
+
+
+def _is_iceberg() -> bool:
+    return _table_format() == "iceberg"
+
+
+def _ident(path: str) -> str:
+    # file formats address stages by directory; iceberg by table ident
+    return path.replace("/", ".").lstrip(".") if _is_iceberg() else path
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    if _is_iceberg():
+        return spark.read.table(_ident(path))
+    return spark.read.format(_table_format()).load(path)
+
+
 @dataclass
 class IndexResult:
     out_dir: str
     metrics: list[dict] = field(default_factory=list)
 
     def table(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(f"{self.out_dir}/{name}")
+        return _read_table(spark, f"{self.out_dir}/{name}")
 
 
-def _exists(path: str) -> bool:
+def _exists(path: str, spark: SparkSession | None = None) -> bool:
+    if _is_iceberg():
+        return spark is not None and spark.catalog.tableExists(_ident(path))
     return os.path.exists(f"{path}/_SUCCESS")
 
 
@@ -86,10 +117,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
 
 def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    w = df.write.mode("overwrite")
+    if _is_iceberg():
+        wt = df.writeTo(_ident(path)).using("iceberg")
+        if partition_by:
+            wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+        wt.createOrReplace()
+        return
+    w = df.write.mode("overwrite").format(_table_format())
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    w.save(path)
 
 
 def run_index(
@@ -148,11 +185,11 @@ def run_index(
 
     def stage(name: str, build, partition_by: list[str] | None = None) -> DataFrame:
         path = f"{out_dir}/{name}"
-        if resume and _exists(path):
+        if resume and _exists(path, spark):
             res.metrics.append({"stage": name, "skipped": True})
-            return spark.read.parquet(path)
+            return _read_table(spark, path)
         _write_observed(name, build(), partition_by)
-        return spark.read.parquet(path)
+        return _read_table(spark, path)
 
     def stage_pair(
         name_a: str, name_b: str, build
@@ -161,14 +198,14 @@ def run_index(
         nodes+edges): build once, write both — never build per output
         and discard half."""
         path_a, path_b = f"{out_dir}/{name_a}", f"{out_dir}/{name_b}"
-        if not (resume and _exists(path_a) and _exists(path_b)):
+        if not (resume and _exists(path_a, spark) and _exists(path_b, spark)):
             df_a, df_b = build()
             _write_observed(name_a, df_a, None)
             _write_observed(name_b, df_b, None)
         else:
             res.metrics.append({"stage": name_a, "skipped": True})
             res.metrics.append({"stage": name_b, "skipped": True})
-        return spark.read.parquet(path_a), spark.read.parquet(path_b)
+        return _read_table(spark, path_a), _read_table(spark, path_b)
 
     # ── extract text (S2/T1): the byte-identical invariant ──────────
     def build_documents() -> DataFrame:

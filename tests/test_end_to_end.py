@@ -259,3 +259,23 @@ def test_query_composite_matches_sequential_twin(spark):
         tuple(r) for r in golden_kg_query_context(120).itertuples(index=False)
     )
     assert spark_rows == golden_rows
+
+
+def test_run_index_orc_format(spark, tmp_out, monkeypatch):
+    """The stage-table format seam is genuinely format-parametric: the
+    whole pipeline runs, resumes, and reads back through
+    KGSPARK_TABLE_FORMAT=orc (the iceberg branch shares the same three
+    seam functions — _write/_read_table/_exists — and differs only in
+    addressing tables by catalog identifier)."""
+    import glob
+
+    from graphrag_kb_server_spark.corpus import generate
+
+    monkeypatch.setenv("KGSPARK_TABLE_FORMAT", "orc")
+    out = tmp_out + "/orc_ix"
+    pages = generate(spark, 40)
+    res = run_index(spark, pages, out)
+    assert res.table(spark, "nodes").count() > 0
+    assert glob.glob(out + "/nodes/part-*.orc"), "stage files must be ORC"
+    res2 = run_index(spark, pages, out, resume=True)
+    assert all(m.get("skipped") for m in res2.metrics)
