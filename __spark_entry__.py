@@ -595,6 +595,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_sessionize"] = s_sessionize
 
+    def s_sessionize_stateful(spark, sf):
+        """The same sessionization as a REAL applyInPandasWithState
+        streaming operator (availableNow run, per-user state tuple) —
+        oracled against the identical batch SQL, i.e. a
+        streaming==batch equivalence check (streaming/stateful.py)."""
+        import uuid
+
+        from graphrag_kb_server_spark.streaming.stateful import (
+            sessionize_stateful,
+        )
+
+        return sessionize_stateful(
+            spark, f"{sf}/events.parquet",
+            query_name=f"sess_state_{uuid.uuid4().hex[:8]}",
+        )
+    q["s_sessionize_stateful"] = s_sessionize_stateful
+
     # ---- Q15/Q20/Q21 context ops ----
     def q15_reference_list(spark, sf):
         from graphrag_kb_server_spark.operators.context_ops import reference_list
@@ -2341,6 +2358,8 @@ SELECT name, q AS question FROM t, UNNEST([
   'Why is ' || name || ' significant?'
 ]) AS u(q)
 """
+
+    o["s_sessionize_stateful"] = o["s_sessionize"]
 
     o.update(_dwell1_oracles())
     return o

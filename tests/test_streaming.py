@@ -58,3 +58,37 @@ def test_s8_upsert_merge(spark, tmp_out):
     # reread through the pointer sees the same state
     got2 = {r["key"]: r["val"] for r in read_table(spark, tdir).collect()}
     assert got2 == {"k1": "a", "k2": "b2", "k3": "c-late"}
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState sessionization (streaming/stateful.py)
+    produces exactly the batch lag+cumsum result on the same events."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from graphrag_kb_server_spark.streaming.stateful import sessionize_stateful
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in sessionize_stateful(
+            spark, f"{sf}/events.parquet", query_name="sess_state_test"
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    batch = (
+        ev.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["n_sessions"], r["n_events"]) for r in batch.collect()
+    }
+    assert got == expected and got
