@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "s_sessionize",
     "g1_degree_centrality",
     "g1_betweenness_s16",
+    "g2_lpa_communities",
 ]
 
 
