@@ -446,7 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def text_lang_id(spark, sf):
         docs = _t(spark, sf, "documents")
-        return docs.select("doc_id", TS.language_id(F.col("text")).alias("lang_pred"))
+        return TS.add_language_id(docs).select("doc_id", "lang_pred")
     q["text_lang_id"] = text_lang_id
 
     def text_token_counts(spark, sf):
@@ -1694,10 +1694,15 @@ FROM f
         _SCRIPT_RANGES as script_ranges,
     )
 
+    # sample prefix mirrored from textstats.LANG_ID_SAMPLE_CHARS
+    from graphrag_kb_server_spark.operators.textstats import (
+        LANG_ID_SAMPLE_CHARS as _lid_n,
+    )
+
     hit_exprs = {
         lang: (
             "len(list_intersect(list_distinct("
-            f"string_split_regex(lower(text), '[^{latin_class}]+')), ["
+            f"string_split_regex(lower(substr(text, 1, {_lid_n})), '[^{latin_class}]+')), ["
             + ",".join(f"'{m}'" for m in ms)
             + "]))"
         )
@@ -1709,7 +1714,8 @@ FROM f
         latin_case += f"WHEN {hit_exprs[lang]} = {best} AND {best} > 0 THEN '{lang}' "
     latin_case += "ELSE 'und' END"
 
-    def cc(char_class: str, col: str = "text") -> str:
+    def cc(char_class: str, col: str = None) -> str:
+        col = col or f"substr(text, 1, {_lid_n})"
         return f"length(regexp_replace({col}, '[^{char_class}]', '', 'g'))"
 
     script_exprs = {code: cc(rng) for code, rng in script_ranges.items()}
@@ -1737,7 +1743,7 @@ FROM f
     nonlat_total = " + ".join(script_exprs.values())
     o["text_lang_id"] = f"""
 SELECT doc_id,
-  CASE WHEN ({nonlat_total}) > {cc(latin_class, 'lower(text)')}
+  CASE WHEN ({nonlat_total}) > {cc(latin_class, f'lower(substr(text, 1, {_lid_n}))')}
        THEN {script_case}
        ELSE {latin_case} END AS lang_pred
 FROM documents

