@@ -612,6 +612,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_sessionize_stateful"] = s_sessionize_stateful
 
+    def s_windowed_stream(spark, sf):
+        """The REAL streaming form of the windowed event aggregation
+        (readStream -> watermark -> window agg -> availableNow) —
+        oracled against the identical batch SQL (streaming==batch)."""
+        import uuid
+
+        from graphrag_kb_server_spark.streaming.incremental import (
+            windowed_events_stream,
+        )
+
+        out = windowed_events_stream(
+            spark, f"{sf}/events.parquet",
+            query_name=f"win_stream_{uuid.uuid4().hex[:8]}",
+        )
+        return out.select(
+            F.col("win.start").alias("win_start"), "event_type",
+            F.col("n").cast("bigint").alias("n"), F.round("v", 4).alias("v"),
+        )
+    q["s_windowed_stream"] = s_windowed_stream
+
     # ---- Q15/Q20/Q21 context ops ----
     def q15_reference_list(spark, sf):
         from graphrag_kb_server_spark.operators.context_ops import reference_list
@@ -2366,6 +2386,7 @@ SELECT name, q AS question FROM t, UNNEST([
 """
 
     o["s_sessionize_stateful"] = o["s_sessionize"]
+    o["s_windowed_stream"] = o["s_windowed_events"]
 
     o.update(_dwell1_oracles())
     return o

@@ -69,6 +69,51 @@ def run_incremental(
     return n_batches["n"]
 
 
+def ensure_stream_dir(path: str) -> str:
+    """The file-stream source requires a directory; expose a single
+    parquet FILE through a symlink dir (local-path convenience — real
+    deployments stream from a directory/table anyway)."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="kgspark_stream_src_")
+        os.symlink(os.path.abspath(path), os.path.join(d, "part-0.parquet"))
+        return d
+    return path
+
+
+def windowed_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    query_name: str = "windowed_events_stream",
+) -> DataFrame:
+    """The REAL Structured-Streaming form of
+    :func:`windowed_event_counts`: readStream → watermark → windowed
+    aggregation → memory sink, availableNow trigger, complete output
+    (a bounded replay finalizes every window). Oracled by the driver's
+    ``s_windowed_stream`` entry against the SAME SQL as the batch form
+    — a streaming==batch equivalence check."""
+    events_dir = ensure_stream_dir(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    # watermarks require TIMESTAMP (ltz); parquet event times load as
+    # NTZ — the cast is identity under the engine's UTC session tz
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_event_counts(stream, window=window, watermark=watermark)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -75,18 +75,11 @@ def sessionize_stateful(
     Returns the final per-user (user_id, n_sessions, n_events) rows
     (latest update per user from the memory sink).
     """
-    import os
-    import tempfile
-
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    if os.path.isfile(events_dir):
-        # the file-stream source requires a directory; expose a single
-        # parquet FILE through a symlink dir (local-path convenience —
-        # real deployments stream from a directory/table anyway)
-        d = tempfile.mkdtemp(prefix="kgspark_events_stream_")
-        os.symlink(os.path.abspath(events_dir), os.path.join(d, "part-0.parquet"))
-        events_dir = d
+    from .incremental import ensure_stream_dir
+
+    events_dir = ensure_stream_dir(events_dir)
     schema = spark.read.parquet(events_dir).schema
     stream = (
         spark.readStream.schema(schema)

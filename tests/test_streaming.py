@@ -92,3 +92,30 @@ def test_stateful_sessionize_matches_batch(spark):
         (r["user_id"], r["n_sessions"], r["n_events"]) for r in batch.collect()
     }
     assert got == expected and got
+
+
+def test_windowed_stream_matches_batch(spark):
+    """The Structured-Streaming windowed aggregation (watermark +
+    availableNow) equals the batch window() computation."""
+    from pyspark.sql import functions as F
+
+    from graphrag_kb_server_spark.streaming.incremental import (
+        windowed_event_counts,
+        windowed_events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["win"]["start"], r["event_type"], r["n"], round(r["v"], 4))
+        for r in windowed_events_stream(
+            spark, f"{sf}/events.parquet", query_name="win_stream_test"
+        ).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = {
+        (r["win"]["start"], r["event_type"], r["n"], round(r["v"], 4))
+        for r in windowed_event_counts(ev).collect()
+    }
+    assert got == expected and got
