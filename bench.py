@@ -19,6 +19,16 @@ $BENCH_REPEATS runs (default 2) — the hypervisor on this box shows
 0-55%% CPU steal, so single-shot numbers are not comparable across
 rounds; the JSON records every repeat plus the run-level host steal%%
 so regressions can be told apart from noise.
+
+Idle gate (VERDICT r4): the r4 artifact pinned t4_entity_merge at
+22.7s purely because leftover Spark JVMs from a prior run kept
+loadavg at 5+. Before timing anything, bench now (a) refuses to start
+while any OTHER SparkSubmit JVM is alive, (b) spins until 1-min
+loadavg drops below $BENCH_IDLE_LOAD (default 1.5, ~5-min timeout,
+then proceeds with a recorded violation), and (c) records the loadavg
+observed at the start of every repeat next to the timing, so a noisy
+repeat is attributable from the artifact alone. Volatile entries
+(kg_index_e2e, t4_entity_merge) always run max(repeats, 3) times.
 """
 
 from __future__ import annotations
@@ -62,9 +72,89 @@ BENCH_QUERIES = [
     "g2_lpa_communities",
 ]
 
+# entries whose r3→r4 history showed >3x run-to-run spread on this
+# box; they always get >=3 repeats so min-of-N converges on warm cost
+VOLATILE_QUERIES = {"t4_entity_merge", "g2_lpa_communities"}
+
 
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _foreign_spark_jvms() -> list[int]:
+    """PIDs of SparkSubmit JVMs that do NOT belong to this process tree
+    (a leftover JVM competing for cores invalidates every timing)."""
+    me = os.getpid()
+    pids = []
+    for p in os.listdir("/proc"):
+        if not p.isdigit() or int(p) == me:
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                cmd = f.read().decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "SparkSubmit" in cmd or "spark-submit" in cmd:
+            # skip our own child JVM: walk the parent chain to me
+            try:
+                pp = int(p)
+                mine = False
+                for _ in range(10):
+                    with open(f"/proc/{pp}/stat") as f:
+                        pp = int(f.read().split()[3])
+                    if pp == me:
+                        mine = True
+                        break
+                    if pp <= 1:
+                        break
+                if not mine:
+                    pids.append(int(p))
+            except (OSError, ValueError):
+                pids.append(int(p))
+    return pids
+
+
+def idle_gate(max_load: float, timeout_s: float = 300.0) -> dict:
+    """Block until the box is quiet; returns evidence for the artifact.
+
+    Hard-fails only on foreign Spark JVMs that persist the whole
+    timeout (those never go away by waiting and make numbers
+    meaningless); a merely-high loadavg times out soft with
+    violated=True so unattended driver runs still produce an artifact
+    — but one that SAYS it was measured on a loaded box.
+    """
+    t0 = time.time()
+    waited = 0.0
+    while True:
+        load = _loadavg1()
+        jvms = _foreign_spark_jvms()
+        if load < max_load and not jvms:
+            return {
+                "gated_seconds": round(time.time() - t0, 1),
+                "start_loadavg1": load,
+                "violated": False,
+            }
+        if time.time() - t0 > timeout_s:
+            if jvms:
+                print(
+                    f"bench: FATAL — foreign Spark JVMs alive after "
+                    f"{timeout_s:.0f}s idle wait: {jvms}. Kill them and "
+                    f"re-run; refusing to pin numbers against them.",
+                    file=sys.stderr,
+                )
+                sys.exit(3)
+            return {
+                "gated_seconds": round(time.time() - t0, 1),
+                "start_loadavg1": load,
+                "violated": True,
+            }
+        waited += 5.0
+        time.sleep(5.0)
 
 
 def _cpu_jiffies() -> dict[str, int]:
@@ -196,26 +286,40 @@ def main() -> None:
     n_docs = int(os.environ.get("BENCH_DOCS", "5000" if sf >= 0.1 else "1000"))
     repeats = max(int(os.environ.get("BENCH_REPEATS", "2")), 1)
 
+    idle_load = float(os.environ.get("BENCH_IDLE_LOAD", "1.5"))
+    gate = idle_gate(idle_load)
+
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
 
     j0 = _cpu_jiffies()
     t0 = time.time()
 
     repeat_times: dict[str, list[float]] = {}
+    repeat_load: dict[str, list[float]] = {}
+    volatile_repeats = max(repeats, 3)
 
-    idx_runs = [bench_kg_index(spark, n_docs) for _ in range(repeats)]
+    idx_runs, idx_load = [], []
+    for _ in range(volatile_repeats):
+        idx_load.append(_loadavg1())
+        idx_runs.append(bench_kg_index(spark, n_docs))
     repeat_times["kg_index_e2e"] = idx_runs
+    repeat_load["kg_index_e2e"] = idx_load
 
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
-        runs = []
-        for _ in range(repeats):
+        runs, loads = [], []
+        n = volatile_repeats if name in VOLATILE_QUERIES else repeats
+        for _ in range(n):
+            loads.append(_loadavg1())
             t1 = time.time()
             _noop_write(qs[name](spark, sf_dir))
             runs.append(time.time() - t1)
         repeat_times[name] = runs
+        repeat_load[name] = loads
 
-    repeat_times.update(bench_query_path(spark, n_docs, repeats))
+    for k, v in bench_query_path(spark, n_docs, repeats).items():
+        repeat_times[k] = v
+        repeat_load[k] = []
 
     total = round(time.time() - t0, 3)
     j1 = _cpu_jiffies()
@@ -234,7 +338,12 @@ def main() -> None:
                 "repeats": {
                     k: [round(x, 3) for x in v] for k, v in repeat_times.items()
                 },
-                "aggregation": f"min of {repeats} repeats",
+                "repeat_loadavg1": {
+                    k: [round(x, 2) for x in v] for k, v in repeat_load.items()
+                },
+                "aggregation": f"min of {repeats} repeats"
+                f" ({volatile_repeats} for volatile entries)",
+                "idle_gate": gate,
                 "host_steal_pct": steal_pct,
                 "sf": sf,
                 "cpus": cpus,

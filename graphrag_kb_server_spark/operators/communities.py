@@ -104,7 +104,7 @@ def label_propagation(
     dst: str = "tgt",
     weight: str | None = "weight",
     max_iterations: int = 12,
-    small_graph_threshold: int = 100_000,
+    small_graph_threshold: int = 600_000,
 ) -> DataFrame:
     """edges → (node, label): SEMI-synchronous weighted LPA,
     deterministic.
@@ -129,19 +129,34 @@ def label_propagation(
     """
     w = F.col(weight) if weight else F.lit(1.0)
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    ).localCheckpoint(eager=True)
+    # the voter's parity class is computed ONCE here and stored in the
+    # checkpoint: the per-round active-class filter is then an int
+    # comparison over checkpointed rows instead of md5+conv re-evaluated
+    # on every edge every round (VERDICT r4 item 3)
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .withColumn("_par", _lpa_parity(F.col("a")))
+        .localCheckpoint(eager=True)
+    )
 
-    # Size-adaptive execution (same rationale + threshold as
-    # connected_components): a distributed iterative loop over a few
-    # thousand edges pays seconds of per-round scheduling for
-    # microseconds of work. Below the threshold the EXACT same
-    # semi-synchronous rounds run as a driver loop over the collected
-    # edges — identical deterministic output, one collect instead of
-    # rounds of shuffles. String ids only (the md5 parity must hash the
-    # same bytes both paths); larger or non-string graphs stay
-    # distributed.
+    # Size-adaptive execution (same rationale as connected_components):
+    # a distributed iterative loop over a bounded graph pays seconds of
+    # per-round scheduling for microseconds of work. Below the
+    # threshold the EXACT same semi-synchronous rounds run as a driver
+    # loop over the collected edges — identical deterministic output,
+    # one collect instead of 3*k rounds of shuffles. String ids only
+    # (the md5 parity must hash the same bytes both paths); larger or
+    # non-string graphs stay distributed.
+    #
+    # Threshold sizing: 600k sym rows = 300k undirected edges ≈ 30 MB
+    # collected — trivially driver-safe. Clustering runs over the KG
+    # *entity* graph (the LCC, post entity-merge), which is orders of
+    # magnitude smaller than the corpus: 100 TB of pages distills to
+    # ~1e7-1e8 entities, so the distributed path still carries real
+    # workloads while everything dominated by per-round scheduling
+    # overhead (the whole sub-cluster recursion included) stays local.
+    # g2_lpa_distributed forces small_graph_threshold=0 and is
+    # hash-oracled equal — both paths stay continuously witnessed.
     if (
         sym.schema["a"].dataType.simpleString() == "string"
         and sym.count() <= small_graph_threshold
@@ -160,7 +175,7 @@ def label_propagation(
             # only the active parity class votes this round — the
             # aggregation and rank run over a third of the nodes
             neigh = (
-                sym.where(_lpa_parity(F.col("a")) == F.lit(it % LPA_STRIDE))
+                sym.where(F.col("_par") == F.lit(it % LPA_STRIDE))
                 .join(
                     acc.select("node", "label").withColumnRenamed("node", "b"),
                     "b",
@@ -313,6 +328,111 @@ def largest_connected_component(edges: DataFrame) -> DataFrame:
         .select("component")
     )
     return comp.join(F.broadcast(top), "component").select("node")
+
+
+def community_hierarchy(
+    assignments: DataFrame,
+    edges: DataFrame | None = None,
+    chunk_ids: DataFrame | None = None,
+    period: str = "",
+) -> DataFrame:
+    """The legacy-GraphRAG communities table, schema-pinned against the
+    reference's shipped artifact
+    (/root/reference/data/onepoint/output/communities.parquet):
+
+        id STRING, human_readable_id BIGINT, community BIGINT,
+        level BIGINT, parent INT, children ARRAY<BIGINT>, title STRING,
+        entity_ids ARRAY<STRING>, relationship_ids ARRAY<STRING>,
+        text_unit_ids ARRAY<STRING>, period STRING, size BIGINT
+
+    ``assignments`` is hierarchical_communities() output (node, level,
+    cluster, parent_cluster). Communities get dense BIGINT ids by
+    (level, cluster) order — deterministic, SQL-mirrorable; roots carry
+    ``parent = -1`` exactly as the reference artifact does. ``edges``
+    (src, tgt) contributes relationship_ids = md5(src|tgt) for
+    intra-community edges; ``chunk_ids`` (node, chunk_id) contributes
+    text_unit_ids; both optional → empty arrays (same types).
+
+    Scale: one groupBy per derived column family, all keyed on the
+    cluster — at 1e8 entities the heavy frame (assignments) shuffles
+    once on cluster; children/parent joins run on the per-community
+    frame (#communities << #nodes, broadcast-eligible).
+    """
+    per = assignments.groupBy("level", "cluster", "parent_cluster").agg(
+        F.array_sort(F.collect_set("node")).alias("entity_ids"),
+        F.count(F.lit(1)).alias("size"),
+    )
+    ids = per.select("level", "cluster").withColumn(
+        "community",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy("level", "cluster")
+        ).cast("bigint") - 1,
+    )
+    per = per.join(F.broadcast(ids), ["level", "cluster"])
+    parent_ids = ids.select(
+        F.col("cluster").alias("parent_cluster"),
+        F.col("community").alias("parent_community"),
+        (F.col("level") + 1).alias("level"),
+    )
+    per = per.join(F.broadcast(parent_ids), ["level", "parent_cluster"], "left")
+    kids = (
+        per.where(F.col("parent_community").isNotNull())
+        .groupBy("parent_community")
+        .agg(F.array_sort(F.collect_set("community")).alias("_kids"))
+        .withColumnRenamed("parent_community", "community")
+    )
+    per = per.join(F.broadcast(kids), "community", "left")
+
+    if edges is not None:
+        members = assignments.select("level", "cluster", "node")
+        e2 = (
+            edges.select(F.col("src"), F.col("tgt"))
+            .join(members.withColumnRenamed("node", "src"), "src")
+            .join(
+                members.withColumnRenamed("node", "tgt")
+                .withColumnRenamed("cluster", "_c2")
+                .withColumnRenamed("level", "_l2"),
+                "tgt",
+            )
+            .where((F.col("cluster") == F.col("_c2")) & (F.col("level") == F.col("_l2")))
+            .groupBy("level", "cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_set(F.md5(F.concat_ws("|", "src", "tgt")))
+                ).alias("relationship_ids")
+            )
+        )
+        per = per.join(e2, ["level", "cluster"], "left")
+    else:
+        per = per.withColumn(
+            "relationship_ids", F.lit(None).cast("array<string>")
+        )
+    if chunk_ids is not None:
+        t2 = (
+            assignments.select("level", "cluster", "node")
+            .join(chunk_ids, "node")
+            .groupBy("level", "cluster")
+            .agg(F.array_sort(F.collect_set("chunk_id")).alias("text_unit_ids"))
+        )
+        per = per.join(t2, ["level", "cluster"], "left")
+    else:
+        per = per.withColumn("text_unit_ids", F.lit(None).cast("array<string>"))
+
+    empty_s = F.array().cast("array<string>")
+    return per.select(
+        F.md5(F.concat_ws("\x1f", "level", "cluster")).alias("id"),
+        F.col("community").alias("human_readable_id"),
+        "community",
+        F.col("level").cast("bigint").alias("level"),
+        F.coalesce(F.col("parent_community").cast("int"), F.lit(-1)).alias("parent"),
+        F.coalesce("_kids", F.array().cast("array<bigint>")).alias("children"),
+        F.concat(F.lit("Community "), F.col("community")).alias("title"),
+        "entity_ids",
+        F.coalesce("relationship_ids", empty_s).alias("relationship_ids"),
+        F.coalesce("text_unit_ids", empty_s).alias("text_unit_ids"),
+        F.lit(period).alias("period"),
+        F.col("size").cast("bigint").alias("size"),
+    )
 
 
 def community_table(assignments: DataFrame, nodes: DataFrame) -> DataFrame:

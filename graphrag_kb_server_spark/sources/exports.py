@@ -220,6 +220,84 @@ step();
         f.write(html)
 
 
+def read_gexf(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Scan side of the gexf sink: parse a gexf file back into
+    (nodes(id, label), edges(source, target)) DataFrames — used by the
+    kg_export_gexf hash oracle to prove write→parse is lossless
+    (incl. XML escaping)."""
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import types as T
+
+    root = ET.parse(path).getroot()
+    ns = {"g": root.tag.split("}")[0].strip("{")} if "}" in root.tag else {}
+    pre = "g:" if ns else ""
+    nodes = [
+        (el.get("id"), el.get("label"))
+        for el in root.findall(f".//{pre}node", ns)
+    ]
+    edges = [
+        (el.get("source"), el.get("target"))
+        for el in root.findall(f".//{pre}edge", ns)
+    ]
+    nschema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("label", T.StringType())]
+    )
+    eschema = T.StructType(
+        [T.StructField("source", T.StringType()), T.StructField("target", T.StringType())]
+    )
+    return (
+        spark.createDataFrame(nodes, nschema),
+        spark.createDataFrame(edges, eschema),
+    )
+
+
+def read_xlsx(spark, path: str) -> DataFrame:
+    """Scan side of the xlsx sink: parse the OOXML worksheet written by
+    centrality_to_xlsx back into a DataFrame with the original columns
+    (the leading to_excel-style index column is dropped). All cells come
+    back as strings — the hash oracle casts explicitly, proving the
+    numeric round trip at the text level."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from pyspark.sql import types as T
+
+    with zipfile.ZipFile(path) as z:
+        sheet = z.read("xl/worksheets/sheet1.xml").decode("utf-8")
+    root = ET.fromstring(sheet)
+    ns = {"m": root.tag.split("}")[0].strip("{")}
+
+    def cell_text(c) -> str | None:
+        v = c.find("m:v", ns)
+        if v is not None:
+            return v.text or ""
+        t = c.find("m:is/m:t", ns)
+        if t is not None:
+            return t.text or ""
+        return None
+
+    def col_ix(ref: str) -> int:
+        ix = 0
+        for ch in ref:
+            if ch.isalpha():
+                ix = ix * 26 + (ord(ch.upper()) - ord("A") + 1)
+        return ix - 1
+
+    rows = []
+    for row in root.findall(".//m:row", ns):
+        cells: dict[int, str | None] = {}
+        for c in row.findall("m:c", ns):
+            cells[col_ix(c.get("r", "A"))] = cell_text(c)
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i) for i in range(width)])
+    header, body = rows[0], rows[1:]
+    cols = header[1:]  # drop the index column
+    data = [tuple(r[1 : len(header)]) for r in body]
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    return spark.createDataFrame(data, schema)
+
+
 def communities_to_gexf(communities: DataFrame, path: str) -> None:
     """Child→parent community network as gexf
     (lightrag_graph_support.py:93-106)."""
