@@ -1881,7 +1881,7 @@ FROM k x JOIN k y ON x.bucket = y.bucket AND x.id < y.id
 WHERE list_cosine_similarity(x.v, y.v) >= 0.2
 """
 
-    o["text_quality"] = """
+    o["text_quality"] = r"""
 WITH f AS (
   SELECT doc_id,
          length(text) AS nchars,

@@ -39,6 +39,19 @@ def degree_centrality(
     )
     if nodes is not None:
         all_nodes = nodes.select(F.col(node_col).alias("name")).distinct()
+        # inconsistent inputs (edge endpoints missing from the nodes
+        # frame) must ERROR, not silently drop rows and skew the
+        # denominator; the anti-join probes the already-aggregated
+        # degree frame (#distinct endpoints, not #edges), so the check
+        # is cheap relative to the aggregation that produced it
+        bad = deg.join(all_nodes, "name", "left_anti").select("name").take(3)
+        if bad:
+            raise ValueError(
+                "degree_centrality: edge endpoints absent from the nodes "
+                f"frame, e.g. {[r['name'] for r in bad]} — pass a nodes "
+                "frame covering every endpoint (or None to derive nodes "
+                "from the edges)"
+            )
         n = all_nodes.count()
         deg = all_nodes.join(deg, "name", "left").select(
             "name", F.coalesce("degree", F.lit(0)).alias("degree")

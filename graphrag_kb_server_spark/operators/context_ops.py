@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -214,17 +215,32 @@ class LlmCache:
     cache would sit on a real table format's MERGE instead.
     """
 
-    #: per-process instance memo — answer_query reuses ONE LlmCache (and
-    #: its cached parquet DataFrame) per path instead of re-listing and
-    #: re-reading the cache directory on every query
-    _instances: dict = {}
+    #: per-process instance memo (LRU, bounded) — answer_query reuses
+    #: ONE LlmCache (and its cached parquet DataFrame) per path instead
+    #: of re-listing and re-reading the cache directory on every query.
+    #: Bounded + unpersist-on-evict: every memoized instance pins a
+    #: Spark-cached DataFrame, so an unbounded dict in a long-lived
+    #: driver would accumulate persisted blocks one per cache path.
+    _instances: "OrderedDict[str, LlmCache]" = OrderedDict()
+    _MAX_INSTANCES = 8
 
     @classmethod
     def for_path(cls, spark, path: str, compact_every: int = 64) -> "LlmCache":
         inst = cls._instances.get(path)
-        if inst is None or inst.spark is not spark:
-            inst = cls(spark, path, compact_every)
-            cls._instances[path] = inst
+        if inst is not None and inst.spark is spark:
+            # honor the caller's compaction setting on lookup, not only
+            # on first construction
+            inst.compact_every = compact_every
+            cls._instances.move_to_end(path)
+            return inst
+        if inst is not None:  # stale session: release its pinned cache
+            inst._invalidate()
+        inst = cls(spark, path, compact_every)
+        cls._instances[path] = inst
+        cls._instances.move_to_end(path)
+        while len(cls._instances) > cls._MAX_INSTANCES:
+            _, evicted = cls._instances.popitem(last=False)
+            evicted._invalidate()
         return inst
 
     def __init__(self, spark, path: str, compact_every: int = 64):
@@ -232,6 +248,27 @@ class LlmCache:
         self.path = path
         self.compact_every = compact_every
         self._df = None  # cached reader view; invalidated on put/compact
+        self._recover()
+
+    def _recover(self) -> None:
+        """compact() has an unavoidable instant between renaming
+        live→__old and compacted→live where the live dir is absent. If
+        a crash landed there, restore automatically instead of silently
+        rebuilding an empty cache while the data sits stranded."""
+        import os
+        import shutil
+
+        if os.path.exists(self.path):
+            return
+        tmp = f"{self.path}__compact"
+        old = f"{self.path}__old"
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            # the compacted dir is complete and supersedes __old
+            os.rename(tmp, self.path)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            os.rename(old, self.path)
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _part_files(self) -> int:
         import os
@@ -248,6 +285,7 @@ class LlmCache:
         generation (invalidated by put/compact): repeated gets skip the
         file listing + parquet scan after the first."""
         if self._df is None:
+            self._recover()  # heal a crashed compact() before reading
             if self._part_files() == 0:
                 return None
             self._df = self.spark.read.parquet(self.path).cache()
@@ -297,12 +335,14 @@ class LlmCache:
             .coalesce(1)
         )
         # crash-safe swap: write compacted → move live aside → move
-        # compacted in → drop the old dir. No window where the cache
-        # data exists nowhere on disk (a crash leaves either the old
-        # dir or the compacted dir recoverable by name). The local
-        # rename/rmtree calls match the cache's contract — a
-        # single-writer local-fixture path; a cluster deployment
-        # replaces this class with a real table format's MERGE.
+        # compacted in → drop the old dir. Between the two renames the
+        # LIVE path is briefly absent; _recover() (run on init and
+        # before every fresh read) restores the stranded __compact or
+        # __old dir automatically, so a crash in that window costs
+        # nothing but the restore. The local rename/rmtree calls match
+        # the cache's contract — a single-writer local-fixture path; a
+        # cluster deployment replaces this class with a real table
+        # format's MERGE.
         tmp = f"{self.path}__compact"
         old = f"{self.path}__old"
         latest.write.mode("overwrite").parquet(tmp)

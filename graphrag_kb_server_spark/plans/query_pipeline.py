@@ -410,6 +410,13 @@ def kg_query(
         both = parts[0]
         for p in parts[1:]:
             both = both.unionByName(p, allowMissingColumns=True)
+        # NOTE: this EAGER checkpoint is the DataFrame action that
+        # fires the CollectMetrics nodes feeding ent_obs/rel_obs below —
+        # the checkpoint replaces the logical plan with a LogicalRDD, so
+        # the later collect() no longer contains them. If this ever
+        # becomes lazy (or a branch is pruned before it), Observation.get
+        # would block forever; keep eager=True or replace the
+        # Observations with explicit count aggregates.
         both = both.localCheckpoint(eager=True)
         rows = both.orderBy("_sec", "merge_ix").collect()
         if entities is not None:

@@ -69,16 +69,26 @@ def run_incremental(
     return n_batches["n"]
 
 
+#: source path → symlink dir memo: repeated streaming runs over the
+#: same file reuse ONE wrapper dir instead of leaking a mkdtemp per call
+_STREAM_DIRS: dict[str, str] = {}
+
+
 def ensure_stream_dir(path: str) -> str:
     """The file-stream source requires a directory; expose a single
     parquet FILE through a symlink dir (local-path convenience — real
-    deployments stream from a directory/table anyway)."""
+    deployments stream from a directory/table anyway). Memoized per
+    source file."""
     import os
     import tempfile
 
     if os.path.isfile(path):
-        d = tempfile.mkdtemp(prefix="kgspark_stream_src_")
-        os.symlink(os.path.abspath(path), os.path.join(d, "part-0.parquet"))
+        ap = os.path.abspath(path)
+        d = _STREAM_DIRS.get(ap)
+        if d is None or not os.path.isdir(d):
+            d = tempfile.mkdtemp(prefix="kgspark_stream_src_")
+            os.symlink(ap, os.path.join(d, "part-0.parquet"))
+            _STREAM_DIRS[ap] = d
         return d
     return path
 
@@ -111,7 +121,15 @@ def windowed_events_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)
+    # materialize and DROP the memory-sink table: repeated runs with
+    # fresh query names would otherwise pin one in-memory result table
+    # each (the sink result is a finalized windowed agg — small by
+    # construction)
+    tbl = spark.table(query_name)
+    rows = tbl.collect()
+    schema = tbl.schema
+    spark.catalog.dropTempView(query_name)
+    return spark.createDataFrame(rows, schema)
 
 
 def windowed_event_counts(

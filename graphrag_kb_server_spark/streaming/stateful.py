@@ -109,10 +109,16 @@ def sessionize_stateful(
     # latest update per user (single-batch availableNow emits exactly
     # one row per user; the max-aggregation keeps this robust if a
     # source with several files ever splits into micro-batches, since
-    # counts are monotonically non-decreasing per update)
+    # counts are monotonically non-decreasing per update).
+    # Materialize + DROP the memory-sink table so repeated runs with
+    # fresh query names don't each pin an in-memory result table.
     from pyspark.sql import functions as F
 
-    return sink.groupBy("user_id").agg(
+    agg = sink.groupBy("user_id").agg(
         F.max("n_sessions").alias("n_sessions"),
         F.max("n_events").alias("n_events"),
     )
+    rows = agg.collect()
+    schema = agg.schema
+    spark.catalog.dropTempView(query_name)
+    return spark.createDataFrame(rows, schema)

@@ -90,6 +90,54 @@ def test_llm_cache_compaction_bounds_files(spark, tmp_out):
     assert cache.get("missing") is None
 
 
+def test_llm_cache_crash_recovery(spark, tmp_out):
+    """A crash between compact()'s two renames leaves the live path
+    absent with the data stranded in __compact (or __old); the next
+    reader restores it instead of silently rebuilding empty."""
+    import os
+    import shutil
+
+    base = f"{tmp_out}/llm_cache_crash"
+    cache = LlmCache(spark, base)
+    cache.put("k1", "v1")
+    cache.put("k2", "v2")
+    # simulate the crash window: live dir renamed aside, compacted dir
+    # fully written but not yet swapped in
+    shutil.copytree(base, f"{base}__compact")
+    os.rename(base, f"{base}__old")
+    assert not os.path.exists(base)
+    fresh = LlmCache(spark, base)  # __init__ recovery path
+    assert fresh.get("k1") == "v1" and fresh.get("k2") == "v2"
+    assert not os.path.exists(f"{base}__old")
+    # ...and the same via _view when only __old survives (no _SUCCESS
+    # in a partial __compact)
+    os.rename(base, f"{base}__old")
+    os.makedirs(f"{base}__compact")  # partial: no _SUCCESS
+    fresh2 = LlmCache.for_path(spark, base)
+    fresh2._df = None
+    assert fresh2.get("k2") == "v2"
+    assert not os.path.exists(f"{base}__compact")
+
+
+def test_llm_cache_memo_bounded(spark, tmp_out):
+    """The for_path memo is LRU-bounded and unpersists evicted
+    instances' pinned DataFrames (ADVICE r4)."""
+    LlmCache._instances.clear()
+    insts = []
+    for i in range(LlmCache._MAX_INSTANCES + 3):
+        c = LlmCache.for_path(spark, f"{tmp_out}/memo_{i}")
+        c.put("h", f"v{i}")
+        assert c.get("h") == f"v{i}"  # builds the pinned view
+        insts.append(c)
+    assert len(LlmCache._instances) == LlmCache._MAX_INSTANCES
+    # the oldest instances were evicted AND their views released
+    for c in insts[:3]:
+        assert c._df is None
+    # compact_every is honored on lookup, not just first construction
+    again = LlmCache.for_path(spark, f"{tmp_out}/memo_5", compact_every=2)
+    assert again.compact_every == 2
+
+
 def _centrality(spark):
     return spark.createDataFrame(
         [("Artificial Intelligence", "concept", "desc", 0.9),
