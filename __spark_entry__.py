@@ -1312,6 +1312,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["g9_community_hierarchy"] = g9_community_hierarchy
 
+    # ---- training-data curation: deterministic sampling + splits +
+    #      domain stats (operators/sampling.py). Hash-threshold
+    #      selection is row-local (no shuffle, no RNG state) and
+    #      mirrorable bit-for-bit in DuckDB via the same md5 slice.
+    def sample_stratified(spark, sf):
+        from graphrag_kb_server_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        docs = _t(spark, sf, "documents")
+        out = stratified_sample(
+            docs, "doc_id", "lang",
+            {"en": 0.5, "es": 0.25, "zh": 0.1},
+            seed="7", default_rate=0.05,
+        )
+        return out.select("doc_id", "lang")
+    q["sample_stratified"] = sample_stratified
+
+    def sample_split_counts(spark, sf):
+        from graphrag_kb_server_spark.operators.sampling import (
+            train_val_split,
+        )
+
+        docs = _t(spark, sf, "documents")
+        out = train_val_split(docs, "doc_id", val_fraction=0.1, seed="13")
+        return out.groupBy("split", "lang").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+    q["sample_split_counts"] = sample_split_counts
+
+    def text_domain_stats(spark, sf):
+        from graphrag_kb_server_spark.operators.sampling import domain_stats
+
+        docs = _t(spark, sf, "documents")
+        # synthesize the three URL shapes the host regex must strip
+        # (plain https, userinfo+port, scheme-less); the oracle
+        # recomputes the domain DIRECTLY from the bucket arithmetic, so
+        # the comparison independently checks the regex extraction
+        host = F.concat(
+            F.lit("CDN"), (F.col("doc_id") % 37).cast("string"),
+            F.lit(".Example.com"),
+        )
+        urls = docs.withColumn(
+            "url",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.lit("https://"), host, F.lit("/x"))
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.lit("http://user@"), host, F.lit(":8080/y?q=1")),
+            )
+            .otherwise(F.concat(host, F.lit("/plain"))),
+        )
+        return domain_stats(urls, url_col="url", chars_col="n_chars")
+    q["text_domain_stats"] = text_domain_stats
+
     return _driver_window_order(q)
 
 
@@ -1328,6 +1384,9 @@ _WINDOW_FIRST = [
     "kg_export_gexf",
     "kg_export_xlsx",
     "g9_community_hierarchy",
+    "sample_stratified",
+    "sample_split_counts",
+    "text_domain_stats",
     # unwitnessed in r4 (VERDICT r4 item 2)
     "kg_ref_dwell1_degree",
     "kg_ref_dwell1_betweenness",
@@ -2728,6 +2787,40 @@ FROM pid p
 LEFT JOIN kids k ON k.pc = p.community
 LEFT JOIN rel r ON r.level = p.level AND r.cluster = p.cluster
 LEFT JOIN txt t ON t.level = p.level AND t.cluster = p.cluster
+"""
+
+    # deterministic hash-threshold sampling: the SAME md5-slice
+    # uniform both engines compute (sampling._unit_hash)
+    _u = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || chr(31) "
+        "|| '{seed}'), 1, 8)) AS BIGINT) / 4294967296.0"
+    )
+    o["sample_stratified"] = f"""
+WITH r AS (
+  SELECT doc_id, lang, {_u.format(seed='7')} AS u FROM documents
+)
+SELECT doc_id, lang FROM r
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+                    WHEN 'zh' THEN 0.1 ELSE 0.05 END
+"""
+    o["sample_split_counts"] = f"""
+WITH r AS (
+  SELECT lang,
+    CASE WHEN {_u.format(seed='13')} < 0.1 THEN 'val' ELSE 'train' END
+      AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs FROM r GROUP BY split, lang
+"""
+    # domains recomputed from the bucket arithmetic directly — an
+    # INDEPENDENT derivation of what the Spark side extracts from the
+    # synthesized URLs via regex
+    o["text_domain_stats"] = """
+SELECT 'cdn' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS domain,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean_chars
+FROM documents GROUP BY 1
 """
 
     o.update(_dwell1_oracles())

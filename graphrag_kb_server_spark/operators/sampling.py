@@ -1,0 +1,130 @@
+"""Training-data curation: deterministic sampling, splits, domain stats.
+
+A 100 TB web corpus is never trained on whole: pipelines draw
+per-stratum mixtures (by language, domain, quality band) and carve
+held-out splits. The standard scale-correct way is HASH-THRESHOLD
+sampling: a row is selected iff a stable hash of (id, seed) falls under
+the stratum's rate. Properties that matter at scale:
+
+- **shuffle-free**: selection is a row-local filter — no sort, no
+  shuffle, no RNG state; Catalyst pushes the predicate to the scan.
+- **deterministic + seed-stable**: the same (id, seed) always lands in
+  the same split, across reruns, partitionings, and engines — which is
+  what makes train/val contamination checks and incremental re-runs
+  possible.
+- **composable**: rates are data (a small dict / broadcast map), so a
+  mixture spec is a join against a tiny frame, not code.
+
+The hash is the first 8 hex chars of md5(id <US> seed), uniform on
+[0, 2^32) — the same digest-slice trick the minhash family uses
+(operators/dedup.py), and directly mirrorable in DuckDB/any SQL:
+``CAST(concat('0x', substr(md5(...), 1, 8)) AS BIGINT)``.
+
+Reference note: the reference server has no sampling surface (its
+corpora are small); this module is part of the engine's
+training-data-pipeline extension, same family as dedup/textstats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: unit separator — same framing byte the id schemes use elsewhere
+_US = "\x1f"
+
+_HASH_SPACE = float(1 << 32)
+
+
+def _unit_hash(id_col, seed: str) -> F.Column:
+    """Uniform [0, 1) double from a stable md5 slice of (id, seed)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(_US, id_col, F.lit(seed))), 1, 8),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(_HASH_SPACE)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    seed: str = "42",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (a training-mixture draw).
+
+    ``rates`` maps stratum value → inclusion rate in [0, 1]; strata not
+    listed get ``default_rate``. The rate table joins as a broadcast
+    (it is a mixture SPEC — dozens of rows), the selection itself is a
+    row-local hash threshold: no shuffle of the corpus, ever.
+    """
+    spark = df.sparkSession
+    spec = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(rates.items())],
+        f"{stratum_col} string, _rate double",
+    )
+    return (
+        df.join(F.broadcast(spec), stratum_col, "left")
+        .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
+        .where(_unit_hash(F.col(id_col), seed) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str,
+    val_fraction: float = 0.01,
+    seed: str = "42",
+    split_col: str = "split",
+) -> DataFrame:
+    """Stable train/val assignment: adds ``split_col`` ∈ {train, val}.
+
+    The same document lands in the same split in every rerun and in
+    every engine that computes the same md5 slice — the contamination
+    guarantee a held-out set needs. Row-local; no shuffle.
+    """
+    return df.withColumn(
+        split_col,
+        F.when(
+            _unit_hash(F.col(id_col), seed) < F.lit(float(val_fraction)),
+            F.lit("val"),
+        ).otherwise(F.lit("train")),
+    )
+
+
+def url_domain(url_col) -> F.Column:
+    """Registrable host of a URL (scheme/userinfo/port/path stripped),
+    lowercased. Pure regexp — stays in codegen."""
+    return F.lower(
+        F.regexp_extract(url_col, r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1)
+    )
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "source",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain corpus profile: doc count, total/mean chars — the
+    aggregation every CC-style curation pass starts from (domain
+    allowlists, per-domain caps). One hash aggregation on the domain;
+    Zipfian domain skew is bounded because partial aggregation
+    (map-side combine) collapses each partition's contribution to one
+    row per domain before the shuffle."""
+    return (
+        docs.select(
+            url_domain(F.col(url_col)).alias("domain"),
+            F.col(chars_col).cast("double").alias("_chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg("_chars"), 4).alias("mean_chars"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Training-data curation ops (operators/sampling.py): determinism,
+rate fidelity, shuffle-freedom, URL host extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphrag_kb_server_spark.operators.sampling import (
+    domain_stats,
+    stratified_sample,
+    train_val_split,
+    url_domain,
+)
+
+
+def _docs(spark, n=4000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("es"), F.lit("zh"), F.lit("de")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(spark)
+    rates = {"en": 0.5, "es": 0.2, "zh": 0.0}
+    s1 = stratified_sample(docs, "doc_id", "lang", rates, seed="9",
+                           default_rate=1.0)
+    s2 = stratified_sample(docs, "doc_id", "lang", rates, seed="9",
+                           default_rate=1.0)
+    r1 = {(r["doc_id"], r["lang"]) for r in s1.collect()}
+    r2 = {(r["doc_id"], r["lang"]) for r in s2.collect()}
+    assert r1 == r2  # bit-stable across runs
+    per = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per.get("zh", 0) == 0  # rate 0 drops everything
+    assert per["de"] == 1000  # default_rate 1.0 keeps everything
+    # 1000 docs/stratum, md5 uniform: expect rate±~5%
+    assert abs(per["en"] / 1000 - 0.5) < 0.05
+    assert abs(per["es"] / 1000 - 0.2) < 0.05
+    # a different seed draws a different (but equally sized-ish) set
+    s3 = stratified_sample(docs, "doc_id", "lang", rates, seed="10",
+                           default_rate=1.0)
+    r3 = {(r["doc_id"], r["lang"]) for r in s3.collect()}
+    assert r3 != r1
+
+
+def test_sample_is_shuffle_free(spark):
+    docs = _docs(spark)
+    plan = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5}, seed="1"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the mixture spec arrives via broadcast; the corpus itself must
+    # never hash-repartition
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_train_val_split_stable_and_disjoint(spark):
+    docs = _docs(spark)
+    out = train_val_split(docs, "doc_id", val_fraction=0.25, seed="5")
+    rows = out.collect()
+    assert {r["split"] for r in rows} == {"train", "val"}
+    n_val = sum(1 for r in rows if r["split"] == "val")
+    assert abs(n_val / len(rows) - 0.25) < 0.03
+    # same doc -> same split on recompute (contamination guarantee)
+    again = {r["doc_id"]: r["split"] for r in
+             train_val_split(docs, "doc_id", 0.25, seed="5").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+def test_url_domain_forms(spark):
+    cases = [
+        ("https://WWW.Example.COM/path?q=1", "www.example.com"),
+        ("http://user:pw@Sub.host.org:8080/x", "sub.host.org"),
+        ("ftp://files.example.net", "files.example.net"),
+        ("bare.example.io/no/scheme", "bare.example.io"),
+        ("host-only.de", "host-only.de"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["d"] for r in df.select(url_domain(F.col("url")).alias("d")).collect()]
+    assert got == [d for _, d in cases]
+
+
+def test_domain_stats(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/1", 100), ("https://a.com/2", 300),
+         ("http://b.org/x", 50)],
+        "source string, n_chars bigint",
+    )
+    rows = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert rows["a.com"]["n_docs"] == 2
+    assert rows["a.com"]["total_chars"] == 400
+    assert rows["a.com"]["mean_chars"] == 200.0
+    assert rows["b.org"]["n_docs"] == 1
