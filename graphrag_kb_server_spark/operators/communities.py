@@ -358,6 +358,12 @@ def community_hierarchy(
     once on cluster; children/parent joins run on the per-community
     frame (#communities << #nodes, broadcast-eligible).
     """
+    # the assignments frame feeds up to four branches (membership agg,
+    # both endpoint joins, text units): a lazy checkpoint truncates its
+    # lineage once so the branches share one materialization instead of
+    # replaying the upstream plan per reference (the r3/r4 iterative-
+    # loop pattern; materialization rides the first action)
+    assignments = assignments.localCheckpoint(eager=False)
     per = assignments.groupBy("level", "cluster", "parent_cluster").agg(
         F.array_sort(F.collect_set("node")).alias("entity_ids"),
         F.count(F.lit(1)).alias("size"),
