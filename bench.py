@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "g1_degree_centrality",
     "g1_betweenness_s16",
     "g2_lpa_communities",
+    # training-data curation family (r5)
+    "sample_stratified",
+    "text_domain_stats",
 ]
 
 # entries whose r3→r4 history showed >3x run-to-run spread on this
