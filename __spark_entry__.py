@@ -1368,6 +1368,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return domain_stats(urls, url_col="url", chars_col="n_chars")
     q["text_domain_stats"] = text_domain_stats
 
+    def sample_pack_sequences(spark, sf):
+        """Training-sequence packing (FFD inside hash buckets,
+        applyInPandas) over the deterministic corpus; the oracle is the
+        golden twin's pinned VALUES — an independent sequential
+        re-derivation of bucket hash + placement order."""
+        from graphrag_kb_server_spark.operators.sampling import (
+            pack_sequences,
+        )
+
+        pages = corpus_mod.generate(spark, 120)
+        docs = pages.select(
+            "url",
+            TXT.extract_text(F.col("text"), F.col("url")).alias("content"),
+        )
+        toks = docs.select(
+            "url",
+            F.size(F.split(F.regexp_replace(F.col("content"), r"^\s+|\s+$", ""), r"\s+")).alias("n_tokens"),
+        )
+        return pack_sequences(toks, "url", "n_tokens", budget=512, n_buckets=8)
+    q["sample_pack_sequences"] = sample_pack_sequences
+
     return _driver_window_order(q)
 
 
@@ -1387,6 +1408,7 @@ _WINDOW_FIRST = [
     "sample_stratified",
     "sample_split_counts",
     "text_domain_stats",
+    "sample_pack_sequences",
     # unwitnessed in r4 (VERDICT r4 item 2)
     "kg_ref_dwell1_degree",
     "kg_ref_dwell1_betweenness",
@@ -1462,6 +1484,11 @@ def _golden_kg_oracles() -> dict[str, str]:
     out["kg_canonical_map"] = _values_oracle(
         golden.golden_kg_canonical_map(_GOLDEN_N_DOCS),
         {"name": "VARCHAR", "canonical_name": "VARCHAR"},
+    )
+    out["sample_pack_sequences"] = _values_oracle(
+        golden.golden_pack_sequences(_GOLDEN_N_DOCS),
+        {"id": "VARCHAR", "tokens": "BIGINT", "bucket": "INT",
+         "bin_ix": "INT", "oversize": "BOOLEAN"},
     )
     out["kg_query_context"] = _values_oracle(
         golden.golden_kg_query_context(_GOLDEN_N_DOCS),

@@ -56,6 +56,58 @@ def golden_chunks(n_rows: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def golden_pack_sequences(
+    n_rows: int,
+    budget: int = 512,
+    n_buckets: int = 8,
+    pack_seed: str = "42",
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Sequential twin of operators/sampling.pack_sequences over the
+    deterministic corpus (tokens = whitespace token count of the
+    extracted content): same md5-slice bucket hash, same
+    (tokens desc, id asc) FFD placement, run in plain python — the
+    pinned VALUES oracle for the sample_pack_sequences driver entry."""
+    docs = golden_documents(n_rows, seed)
+    items = [
+        (url, len(content.split()))
+        for url, content in zip(docs["url"], docs["content"])
+    ]
+    buckets: dict[int, list[tuple[str, int]]] = {}
+    for url, t in items:
+        b = (
+            int(
+                hashlib.md5(f"{url}\x1f{pack_seed}".encode("utf-8")).hexdigest()[:8],
+                16,
+            )
+            % n_buckets
+        )
+        buckets.setdefault(b, []).append((url, t))
+    rows = []
+    for b, lst in buckets.items():
+        lst.sort(key=lambda x: (-x[1], x[0]))
+        remaining: list[int] = []
+        for url, t in lst:
+            if t >= budget:
+                ix = len(remaining)
+                remaining.append(0)
+                rows.append((url, t, b, ix, True))
+                continue
+            placed = -1
+            for i, rem in enumerate(remaining):
+                if rem >= t:
+                    placed = i
+                    remaining[i] = rem - t
+                    break
+            if placed < 0:
+                placed = len(remaining)
+                remaining.append(budget - t)
+            rows.append((url, t, b, placed, False))
+    return pd.DataFrame(
+        rows, columns=["id", "tokens", "bucket", "bin_ix", "oversize"]
+    )
+
+
 def golden_triples(n_rows: int, seed: int = 42) -> pd.DataFrame:
     """Distinct (url, subj, pred, obj) from whole-document extraction."""
     docs = golden_documents(n_rows, seed)

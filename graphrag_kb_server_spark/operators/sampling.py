@@ -36,15 +36,18 @@ _US = "\x1f"
 _HASH_SPACE = float(1 << 32)
 
 
+def _int_hash(id_col, seed: str) -> F.Column:
+    """Stable uniform bigint on [0, 2^32) from an md5 slice of
+    (id, seed) — the engine-portable hash every op here keys on."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(_US, id_col, F.lit(seed))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+
+
 def _unit_hash(id_col, seed: str) -> F.Column:
     """Uniform [0, 1) double from a stable md5 slice of (id, seed)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(_US, id_col, F.lit(seed))), 1, 8),
-            16, 10,
-        ).cast("bigint")
-        / F.lit(_HASH_SPACE)
-    )
+    return _int_hash(id_col, seed) / F.lit(_HASH_SPACE)
 
 
 def stratified_sample(
@@ -94,6 +97,89 @@ def train_val_split(
             _unit_hash(F.col(id_col), seed) < F.lit(float(val_fraction)),
             F.lit("val"),
         ).otherwise(F.lit("train")),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_buckets: int = 1024,
+    seed: str = "42",
+) -> DataFrame:
+    """Training-sequence packing: assign each document to a
+    (bucket, bin_ix) so that each bin's token total fits ``budget``.
+
+    Globally-optimal bin packing is inherently sequential; the
+    scale-correct decomposition is LOCAL first-fit-decreasing inside
+    deterministic hash buckets:
+
+    - **bucket** = md5-slice(id, seed) mod ``n_buckets`` — a row-local
+      assignment, so the only shuffle is the one ``applyInPandas``
+      needs to co-locate each bucket (one exchange on a uniform key;
+      bucket count, not document skew, sets task balance).
+    - **within a bucket**: documents sorted (tokens desc, id asc) are
+      placed first-fit into the lowest-index bin with room — classic
+      FFD (≤ 11/9·OPT + 1 bins per bucket). Oversize documents
+      (tokens ≥ budget) get a dedicated bin each, flagged.
+    - **deterministic end to end**: same (id, seed) → same bucket; the
+      in-bucket order is a total order → same bins on every run and
+      engine, which is what makes packed-corpus reproducibility and
+      resume possible.
+
+    Buckets bound packing state to O(docs/bucket): at 10^12 documents,
+    n_buckets scales with the cluster (e.g. 2^20) and each task packs
+    ~10^6 rows in memory. The per-bucket loss vs global packing is the
+    standard trade every distributed packer makes (bins never span
+    buckets).
+
+    Returns (id, tokens, bucket, bin_ix, oversize).
+    """
+    src = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(tokens_col).cast("long").alias("tokens"),
+        (F.pmod(_int_hash(F.col(id_col), seed), F.lit(n_buckets)))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list[int] = []
+        bin_ix: list[int] = []
+        oversize: list[bool] = []
+        for t in pdf["tokens"]:
+            t = int(t)
+            if t >= budget:
+                bin_ix.append(len(remaining))
+                remaining.append(0)
+                oversize.append(True)
+                continue
+            placed = -1
+            for i, rem in enumerate(remaining):
+                if rem >= t:
+                    placed = i
+                    remaining[i] = rem - t
+                    break
+            if placed < 0:
+                placed = len(remaining)
+                remaining.append(budget - t)
+            bin_ix.append(placed)
+            oversize.append(False)
+        pdf["bin_ix"] = bin_ix
+        pdf["oversize"] = oversize
+        return pdf[["id", "tokens", "bucket", "bin_ix", "oversize"]]
+
+    return src.groupBy("bucket").applyInPandas(
+        pack,
+        schema=(
+            "id string, tokens long, bucket int, bin_ix int, oversize boolean"
+        ),
     )
 
 

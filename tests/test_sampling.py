@@ -85,6 +85,69 @@ def test_url_domain_forms(spark):
     assert got == [d for _, d in cases]
 
 
+def test_pack_sequences_invariants(spark):
+    from graphrag_kb_server_spark.operators.sampling import pack_sequences
+
+    docs = spark.range(500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") % 97 * 7 + 10).alias("n_tokens"),  # 10..682
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", budget=600, n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == 500  # every doc placed exactly once
+    # bin capacity: total tokens per (bucket, bin) <= budget, except a
+    # bin holding a single oversize doc
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r["bucket"], r["bin_ix"])].append(r)
+    for members in bins.values():
+        total = sum(r["tokens"] for r in members)
+        if total > 600:
+            assert len(members) == 1 and members[0]["oversize"]
+    # oversize flag matches the contract
+    for r in rows:
+        assert r["oversize"] == (r["tokens"] >= 600)
+    # deterministic across runs
+    again = pack_sequences(docs, "doc_id", "n_tokens", 600, n_buckets=4)
+    assert {(r["id"], r["bucket"], r["bin_ix"]) for r in rows} == {
+        (r["id"], r["bucket"], r["bin_ix"]) for r in again.collect()
+    }
+    # FFD actually packs: non-oversize bins are well filled on average
+    # (FFD's asymptotic fill is >= ~0.7; allow slack for small buckets)
+    reg = [m for m in bins.values() if not any(r["oversize"] for r in m)]
+    fill = sum(sum(r["tokens"] for r in m) for m in reg) / (600.0 * len(reg))
+    assert fill > 0.6
+    assert len(bins) < 500  # strictly fewer bins than docs
+
+
+def test_pack_sequences_matches_golden_twin(spark):
+    """Distributed applyInPandas packing == the sequential pure-python
+    twin (independent re-derivation of hash, order, and placement)."""
+    from graphrag_kb_server_spark import golden
+    from graphrag_kb_server_spark.functions import text as TXT
+    from graphrag_kb_server_spark.operators.sampling import pack_sequences
+    from graphrag_kb_server_spark import corpus as corpus_mod
+
+    pages = corpus_mod.generate(spark, 60)
+    toks = pages.select(
+        "url",
+        F.size(
+            F.split(F.regexp_replace(TXT.extract_text(F.col("text"), F.col("url")), r"^\s+|\s+$", ""), r"\s+")
+        ).alias("n_tokens"),
+    )
+    got = {
+        (r["id"], r["tokens"], r["bucket"], r["bin_ix"], r["oversize"])
+        for r in pack_sequences(toks, "url", "n_tokens", 512, n_buckets=8).collect()
+    }
+    want = {
+        tuple(t)
+        for t in golden.golden_pack_sequences(60).itertuples(index=False)
+    }
+    assert got == want
+
+
 def test_domain_stats(spark):
     df = spark.createDataFrame(
         [("https://a.com/1", 100), ("https://a.com/2", 300),
