@@ -299,26 +299,39 @@ def main() -> None:
 
     repeat_times: dict[str, list[float]] = {}
     repeat_load: dict[str, list[float]] = {}
+    repeat_steal: dict[str, list[float]] = {}
     volatile_repeats = max(repeats, 3)
 
-    idx_runs, idx_load = [], []
+    def _steal_between(a: dict, b: dict) -> float:
+        return round(
+            100.0 * (b["steal"] - a["steal"]) / max(b["total"] - a["total"], 1),
+            1,
+        )
+
+    idx_runs, idx_load, idx_steal = [], [], []
     for _ in range(volatile_repeats):
         idx_load.append(_loadavg1())
+        ja = _cpu_jiffies()
         idx_runs.append(bench_kg_index(spark, n_docs))
+        idx_steal.append(_steal_between(ja, _cpu_jiffies()))
     repeat_times["kg_index_e2e"] = idx_runs
     repeat_load["kg_index_e2e"] = idx_load
+    repeat_steal["kg_index_e2e"] = idx_steal
 
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
-        runs, loads = [], []
+        runs, loads, steals = [], [], []
         n = volatile_repeats if name in VOLATILE_QUERIES else repeats
         for _ in range(n):
             loads.append(_loadavg1())
+            ja = _cpu_jiffies()
             t1 = time.time()
             _noop_write(qs[name](spark, sf_dir))
             runs.append(time.time() - t1)
+            steals.append(_steal_between(ja, _cpu_jiffies()))
         repeat_times[name] = runs
         repeat_load[name] = loads
+        repeat_steal[name] = steals
 
     # The online query path issues many small driver actions whose
     # codegen/JIT warm-up spans the first 2-3 invocations (observed:
@@ -327,6 +340,7 @@ def main() -> None:
     for k, v in bench_query_path(spark, n_docs, max(repeats, 4)).items():
         repeat_times[k] = v
         repeat_load[k] = []
+        repeat_steal[k] = []
 
     total = round(time.time() - t0, 3)
     j1 = _cpu_jiffies()
@@ -348,6 +362,7 @@ def main() -> None:
                 "repeat_loadavg1": {
                     k: [round(x, 2) for x in v] for k, v in repeat_load.items()
                 },
+                "repeat_steal_pct": repeat_steal,
                 "aggregation": f"min of {repeats} repeats"
                 f" ({volatile_repeats} for volatile entries)",
                 "idle_gate": gate,
