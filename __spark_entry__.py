@@ -1389,6 +1389,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_sequences(toks, "url", "n_tokens", budget=512, n_buckets=8)
     q["sample_pack_sequences"] = sample_pack_sequences
 
+    # ---- web-corpus curation filters (operators/curation.py). Inputs
+    #      are synthesized deterministically from doc_id arithmetic so
+    #      every rule BITES; each oracle re-derives the expected output
+    #      directly from the construction (not by mirroring the
+    #      operator), so the comparison is implementation-independent.
+    def cur_c4_lines(spark, sf):
+        from graphrag_kb_server_spark.operators.curation import (
+            c4_line_filter,
+        )
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        synth = docs.withColumn(
+            "synth",
+            F.concat_ws(
+                "\n",
+                F.concat(F.substring("text", 1, 60), F.lit(" good end.")),
+                F.when(d % 5 == 0, F.lit("tiny.")),
+                F.when(d % 7 == 0, F.lit("no punct line here")),
+                F.when(d % 11 == 0, F.lit("Enable javascript to proceed.")),
+                F.concat(
+                    F.lit("another good sentence "),
+                    (d % 13).cast("string"),
+                    F.lit(" ok."),
+                ),
+                F.when(d % 2 == 0, F.lit("third line also fine.")),
+                F.when(d % 17 == 0, F.lit("brace { line.")),
+                F.when(d % 19 == 0, F.lit("Lorem ipsum dolor sit amet.")),
+            ),
+        )
+        out = c4_line_filter(synth, "synth")
+        return out.select(
+            "doc_id",
+            "n_lines",
+            "n_lines_kept",
+            "c4_keep",
+            F.md5("c4_text").alias("c4_md5"),
+        )
+    q["cur_c4_lines"] = cur_c4_lines
+
+    def cur_gopher_rep(spark, sf):
+        from graphrag_kb_server_spark.operators.curation import (
+            gopher_repetition,
+        )
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        synth = docs.withColumn(
+            "synth",
+            F.concat_ws(
+                "\n",
+                F.concat(F.substring("text", 1, 40), F.lit(".")),
+                F.lit("repeat me."),
+                F.lit("repeat me."),
+                F.when(d % 3 == 0, F.lit("repeat me.")),
+                F.concat(F.lit("unique tail "), d.cast("string"), F.lit(".")),
+            ),
+        )
+        return gopher_repetition(synth, "doc_id", "synth")
+    q["cur_gopher_rep"] = cur_gopher_rep
+
+    def cur_pii_redact(spark, sf):
+        from graphrag_kb_server_spark.operators.curation import redact_pii
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        synth = docs.withColumn(
+            "synth",
+            F.concat(
+                F.lit("contact u"), d.cast("string"),
+                F.lit("@example.com for info. server 10."),
+                (d % 200).cast("string"), F.lit(".0.1 responded."),
+                F.coalesce(
+                    F.when(
+                        d % 4 == 0,
+                        F.concat(
+                            F.lit(" call +1-555-"),
+                            F.lpad((d % 10000).cast("string"), 4, "0"),
+                            F.lit(" now."),
+                        ),
+                    ),
+                    F.lit(""),
+                ),
+                F.lit(" "), F.substring("text", 1, 50),
+            ),
+        )
+        out = redact_pii(synth, "synth")
+        return out.select(
+            "doc_id", "n_emails", "n_ips", "n_phones",
+            F.md5("redacted").alias("redacted_md5"),
+        )
+    q["cur_pii_redact"] = cur_pii_redact
+
+    def cur_url_normalize(spark, sf):
+        from graphrag_kb_server_spark.operators.curation import (
+            normalize_url,
+            url_keep,
+        )
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        raw = docs.withColumn(
+            "url",
+            F.concat(
+                F.lit("HTTPS://WWW.Example"), (d % 23).cast("string"),
+                F.lit(".COM"),
+                F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":8080")),
+                F.when(d % 5 == 0, F.lit("/img.png")).otherwise(
+                    F.concat(F.lit("/Path"), (d % 5).cast("string"))
+                ),
+                F.lit("?b="), (d % 7).cast("string"),
+                F.lit("&utm_source=feed&a=1"),
+                F.when(d % 3 == 0, F.lit("&fbclid=XYZ")).otherwise(F.lit("")),
+                F.lit("#s"), d.cast("string"),
+            ),
+        )
+        norm = raw.withColumn("norm_url", normalize_url(F.col("url")))
+        return norm.select(
+            "doc_id", "norm_url",
+            url_keep(F.col("norm_url")).alias("keep"),
+        )
+    q["cur_url_normalize"] = cur_url_normalize
+
+    def cur_paragraph_dedup(spark, sf):
+        from graphrag_kb_server_spark.operators.curation import (
+            paragraph_dedup,
+        )
+
+        docs = _t(spark, sf, "documents")
+        d = F.col("doc_id")
+        synth = docs.select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 80), F.lit(" #"), d.cast("string"),
+                F.lit("\n\nShared boilerplate paragraph "),
+                (d % 10).cast("string"), F.lit("."),
+                F.lit("\n\nAll rights reserved."),
+            ).alias("synth"),
+        )
+        out = paragraph_dedup(synth, "doc_id", "synth")
+        return out.select(
+            "doc_id", "n_paras", "n_paras_kept",
+            F.md5("synth").alias("dedup_md5"),
+        )
+    q["cur_paragraph_dedup"] = cur_paragraph_dedup
+
     return _driver_window_order(q)
 
 
@@ -1400,6 +1546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed full-suite artifact (CORRECTNESS_full_r05.json, from
 # tools/check_oracle.py over every registered entry).
 _WINDOW_FIRST = [
+    # new in r5 (curation filters)
+    "cur_c4_lines",
+    "cur_gopher_rep",
+    "cur_pii_redact",
+    "cur_url_normalize",
+    "cur_paragraph_dedup",
     # new in r5
     "g8_reports",
     "kg_export_gexf",
@@ -2848,6 +3000,100 @@ SELECT 'cdn' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS domain,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean_chars
 FROM documents GROUP BY 1
+"""
+
+    # ---- curation filters: each oracle derives the expected output
+    #      DIRECTLY from the doc_id construction arithmetic (what the
+    #      synthesized input guarantees), not by mirroring the Spark
+    #      operator — an implementation-independent check.
+    o["cur_c4_lines"] = """
+WITH s AS (
+  SELECT doc_id,
+    substr(text, 1, 60) || ' good end.' AS sent1,
+    'another good sentence ' || CAST(doc_id % 13 AS VARCHAR) || ' ok.'
+      AS sent2,
+    doc_id % 2 = 0 AS has3, doc_id % 19 = 0 AS haslor,
+    doc_id % 5 = 0 AS l5, doc_id % 7 = 0 AS l7,
+    doc_id % 11 = 0 AS l11, doc_id % 17 = 0 AS l17
+  FROM documents
+)
+SELECT doc_id,
+  2 + CAST(l5 AS INT) + CAST(l7 AS INT) + CAST(l11 AS INT)
+    + CAST(has3 AS INT) + CAST(l17 AS INT) + CAST(haslor AS INT)
+    AS n_lines,
+  2 + CAST(has3 AS INT) + CAST(haslor AS INT) AS n_lines_kept,
+  (2 + CAST(has3 AS INT) + CAST(haslor AS INT) >= 3)
+    AND NOT l17 AND NOT haslor AS c4_keep,
+  md5(concat_ws(chr(10), sent1, sent2,
+      CASE WHEN has3 THEN 'third line also fine.' END,
+      CASE WHEN haslor THEN 'Lorem ipsum dolor sit amet.' END)) AS c4_md5
+FROM s
+"""
+    o["cur_gopher_rep"] = """
+WITH s AS (
+  SELECT doc_id,
+    4 + CAST(doc_id % 3 = 0 AS INT) AS n,
+    1 + CAST(doc_id % 3 = 0 AS INT) AS extra,
+    2 + CAST(doc_id % 3 = 0 AS INT) AS cntb,
+    length(substr(text, 1, 40)) + 1 AS ca,
+    length('unique tail ' || CAST(doc_id AS VARCHAR) || '.') AS ct
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+  round(CAST(extra AS DOUBLE) / n, 6) AS dup_line_frac,
+  round(CAST(extra * 10 AS DOUBLE) / (ca + cntb * 10 + ct), 6)
+    AS dup_line_char_frac
+FROM s
+"""
+    o["cur_pii_redact"] = """
+SELECT doc_id, 1 AS n_emails, 1 AS n_ips,
+  CAST(doc_id % 4 = 0 AS INT) AS n_phones,
+  md5('contact <EMAIL> for info. server <IP> responded.'
+      || CASE WHEN doc_id % 4 = 0 THEN ' call <PHONE> now.' ELSE '' END
+      || ' ' || substr(text, 1, 50)) AS redacted_md5
+FROM documents
+"""
+    o["cur_url_normalize"] = """
+SELECT doc_id,
+  'https://www.example' || CAST(doc_id % 23 AS VARCHAR) || '.com'
+  || CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END
+  || CASE WHEN doc_id % 5 = 0 THEN '/img.png'
+          ELSE '/Path' || CAST(doc_id % 5 AS VARCHAR) END
+  || '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR) AS norm_url,
+  doc_id % 5 <> 0 AS keep
+FROM documents
+"""
+    # independent implementation: window row_number over the paragraph,
+    # vs the Spark side's min(struct) aggregation winner election
+    o["cur_paragraph_dedup"] = """
+WITH s AS (
+  SELECT doc_id,
+    substr(text, 1, 80) || ' #' || CAST(doc_id AS VARCHAR)
+    || e'\\n\\nShared boilerplate paragraph '
+    || CAST(doc_id % 10 AS VARCHAR) || '.'
+    || e'\\n\\nAll rights reserved.' AS synth
+  FROM documents
+),
+p AS (SELECT doc_id, string_split(synth, e'\\n\\n') AS parts FROM s),
+ex AS (
+  SELECT doc_id, unnest(parts) AS para,
+         unnest(range(len(parts))) AS pos
+  FROM p
+),
+rn AS (
+  SELECT doc_id, pos, para,
+    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM ex
+),
+kept AS (
+  SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS synth,
+         count(*) AS n_kept
+  FROM rn WHERE rn = 1 GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(3 AS BIGINT) AS n_paras,
+  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_paras_kept,
+  md5(coalesce(kept.synth, '')) AS dedup_md5
+FROM s LEFT JOIN kept ON s.doc_id = kept.doc_id
 """
 
     o.update(_dwell1_oracles())

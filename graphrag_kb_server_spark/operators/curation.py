@@ -1,0 +1,314 @@
+"""Web-corpus curation filters: C4 line filtering, Gopher repetition
+stats, PII redaction, URL canonicalization, corpus-wide paragraph
+dedup.
+
+These are the standard cleaning passes a Common-Crawl-scale training
+pipeline runs between raw extracted text and dedup/sampling (C4:
+Raffel et al. 2020 §2.2; Gopher: Rae et al. 2021 appendix A;
+CCNet/RefinedWeb paragraph dedup). The reference server ingests
+curated KBs and has no cleaning surface
+(service/index_support.py feeds files straight to chunking), so this
+module is part of the engine's training-data-pipeline extension
+(SURVEY §2.7), same family as dedup.py / textstats.py / sampling.py.
+
+Scale posture per operator:
+
+- ``c4_line_filter`` / ``redact_pii`` / ``normalize_url`` /
+  ``url_keep`` are **row-local Catalyst expressions** (HOFs + regexp)
+  — no shuffle, no UDF, whole-stage codegen, predicate-pushdown
+  friendly.
+- ``gopher_repetition`` is two partial-aggregated hash aggregations
+  (doc×line, then doc) — map-side combine collapses each partition to
+  one row per key before either exchange; Zipfian line skew is
+  bounded because the first key includes the doc id.
+- ``paragraph_dedup`` is the only corpus-global op: winner election is
+  ``min(struct(order, pos))`` per paragraph-hash — an AGGREGATION, not
+  a window, so a boilerplate paragraph shared by 10^9 pages partial-
+  aggregates instead of sorting one giant partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering (public heuristics, Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+#: a retained line must end in terminal punctuation
+_TERMINAL_RE = r'[.!?"]\s*$'
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """Apply the C4 line/document heuristics to ``text_col``.
+
+    Line level (a line is KEPT iff all hold):
+      - ends in terminal punctuation (``. ! ? "``),
+      - has at least ``min_words`` whitespace words,
+      - does not contain the word ``javascript`` (case-insensitive),
+      - does not contain ``{`` or ``}``.
+    Document level (``c4_keep``):
+      - at least ``min_kept_lines`` lines survived,
+      - the document does not contain ``lorem ipsum``
+        (case-insensitive) or a curly brace.
+
+    Adds ``c4_text`` (kept lines re-joined), ``n_lines``,
+    ``n_lines_kept``, ``c4_keep``. Pure HOF/regexp — row-local,
+    codegen'd, zero shuffles.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _keep(line: Column) -> Column:
+        lw = F.lower(line)
+        return (
+            line.rlike(_TERMINAL_RE)
+            & (F.size(F.split(F.trim(line), r"\s+")) >= min_words)
+            & ~lw.contains("javascript")
+            & ~line.contains("{")
+            & ~line.contains("}")
+        )
+
+    kept = F.filter(lines, _keep)
+    doc_ok = (
+        (F.size(kept) >= min_kept_lines)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return (
+        df.withColumn("c4_text", F.array_join(kept, "\n"))
+        .withColumn("n_lines", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn("c4_keep", doc_ok)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    unit: str = "line",
+) -> DataFrame:
+    """Per-document duplicate-``unit`` fractions (lines or paragraphs).
+
+    For each document: fraction of units that are repeats of an
+    earlier identical unit, and the character-weighted version —
+    the two repetition signals Gopher filters on (``dup_line_frac``
+    > 0.30 / ``dup_line_char_frac`` > 0.20 drop the page; thresholds
+    are the caller's policy, this computes the signals).
+
+    Returns one row per document:
+    ``(id, n_<unit>s, dup_<unit>_frac, dup_<unit>_char_frac)``,
+    fractions rounded to 6.
+
+    Shape: explode → groupBy(doc, unit) → groupBy(doc). Both
+    aggregations partial-combine map-side; the first key contains the
+    doc id, so a globally common line ("Subscribe now.") never
+    concentrates on one reducer.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("u"),
+    )
+    per_unit = ex.groupBy("id", "u").agg(F.count(F.lit(1)).alias("cnt"))
+    extra = F.col("cnt") - 1
+    chars = F.length("u")
+    out = per_unit.groupBy("id").agg(
+        F.sum("cnt").cast("bigint").alias(f"n_{unit}s"),
+        F.round(
+            F.sum(extra) / F.sum("cnt"), 6
+        ).alias(f"dup_{unit}_frac"),
+        F.round(
+            F.sum(extra * chars) / F.sum(F.col("cnt") * chars), 6
+        ).alias(f"dup_{unit}_char_frac"),
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub — emails, IPv4, international phone)
+# ---------------------------------------------------------------------------
+
+#: RE2-compatible subset (no lookaround/backrefs) so any engine that
+#: mirrors these patterns gets identical matches.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PHONE_RE = r"\+\d{1,2}[- ]\d{3}[- ]\d{4}"
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str = "redacted") -> DataFrame:
+    """Replace emails / IPv4 addresses / ``+N-NNN-NNNN`` phone numbers
+    with ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` and count each.
+
+    Order matters and is fixed (email → ip → phone) so the output is
+    deterministic: an email is consumed before its digits can be
+    misread, and the inserted tags contain no digits for later
+    patterns to re-match. Pure ``regexp_replace``/``regexp_count`` —
+    row-local, codegen'd.
+    """
+    t = F.col(text_col)
+    step1 = F.regexp_replace(t, _EMAIL_RE, "<EMAIL>")
+    step2 = F.regexp_replace(step1, _IPV4_RE, "<IP>")
+    step3 = F.regexp_replace(step2, _PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(_EMAIL_RE)))
+        .withColumn("n_ips", F.regexp_count(step1, F.lit(_IPV4_RE)))
+        .withColumn("n_phones", F.regexp_count(step2, F.lit(_PHONE_RE)))
+        .withColumn(out_col, step3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + fetch-worthiness filter
+# ---------------------------------------------------------------------------
+
+#: query parameters that never change page content (tracking)
+_TRACKING_PARAMS = (
+    "utm_[a-z]+", "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref",
+)
+_TRACKING_RE = "^(?:" + "|".join(_TRACKING_PARAMS) + ")="
+
+#: extensions that are never text documents
+_NON_TEXT_EXT = (
+    "jpg jpeg png gif webp svg ico css js mjs woff woff2 ttf eot "
+    "mp3 mp4 avi mov webm wav zip gz tar rar 7z exe dmg iso pdf"
+).split()
+
+
+def normalize_url(url_col: Column) -> Column:
+    """Canonical form of a URL — the dedup/partition key a crawl-scale
+    corpus uses so ``HTTP://Ex.COM/a?utm_source=x&b=1#top`` and
+    ``http://ex.com/a?b=1`` collapse.
+
+    Steps (each a row-local Catalyst expression):
+      1. strip the ``#fragment``;
+      2. strip userinfo (``user:pass@``);
+      3. lowercase the scheme+host head (path/query untouched);
+      4. drop default ports (``:80`` for http, ``:443`` for https);
+      5. drop tracking query parameters (utm_*, fbclid, gclid, …),
+         sort the survivors for order-independence, drop an
+         empty ``?``.
+    """
+    u = F.regexp_replace(url_col, r"#.*$", "")
+    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://)[^/@?#]*@", r"$1")
+    # head = scheme://authority (the '//' would otherwise stop a bare
+    # [^/]* class at the scheme); scheme-less URLs fall back to host only
+    head = F.regexp_extract(u, r"^((?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*)", 1)
+    tail = F.substring(u, F.length(head) + F.lit(1), F.length(u))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(http://[^/:]+):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/:]+):443$", r"$1")
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    query = F.when(
+        tail.contains("?"),
+        F.substring(tail, F.length(path) + F.lit(2), F.length(tail)),
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    new_query = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        head,
+        path,
+        F.when(new_query != "", F.concat(F.lit("?"), new_query)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_keep(url_col: Column, blocked_domains: frozenset[str] | None = None) -> Column:
+    """True iff the (normalized) URL is worth fetching as text:
+    http(s) scheme, host not in ``blocked_domains``, and the path
+    extension is not a known binary/media type. Row-local predicate —
+    pushes down to the scan."""
+    scheme_ok = url_col.rlike(r"^https?://")
+    ext = F.lower(
+        F.regexp_extract(url_col, r"\.([A-Za-z0-9]{1,6})(?:\?|$)", 1)
+    )
+    ext_ok = ~ext.isin(*_NON_TEXT_EXT)
+    host = F.regexp_extract(url_col, r"^https?://([^/:?#]+)", 1)
+    dom_ok = (
+        ~host.isin(*sorted(blocked_domains)) if blocked_domains else F.lit(True)
+    )
+    return scheme_ok & ext_ok & dom_ok
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide paragraph-level exact dedup (CCNet / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Remove every paragraph that appeared earlier in the corpus
+    (first occurrence wins; order = ``(id, position)``), then
+    reassemble each document from its surviving paragraphs.
+
+    This is the cross-document boilerplate killer (cookie banners,
+    footers) that document-level dedup cannot express.
+
+    Shape — aggregation-only winner election, skew-safe by design:
+      1. explode paragraphs with position;
+      2. per md5(paragraph): ``min(struct(id, pos))`` — ONE hash
+         aggregation with map-side partial combine; a paragraph on
+         10^9 pages still reduces to one row per partition before the
+         shuffle (a window over the hash would instead sort the whole
+         hot partition);
+      3. semi-join winners back on (hash, id, pos);
+      4. groupBy(id): sort surviving positions, re-join text.
+
+    Note: ``id`` ordering uses the column's natural type ordering
+    (numeric ids compare numerically, strings lexicographically).
+    Returns ``(id, n_paras, n_paras_kept, text)`` with ``text``
+    rebuilt from survivors.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("h", F.md5("para"))
+    winners = paras.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    ).select("h", F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    kept = paras.join(winners, ["h", "id", "pos"], "left_semi")
+    totals = paras.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras")
+    )
+    survivors = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col),
+    )
+    # left join from totals: a document whose every paragraph was a
+    # repeat still gets a row (0 kept, empty text), it does not vanish
+    out = (
+        totals.join(survivors, "id", "left")
+        .select(
+            "id",
+            "n_paras",
+            F.coalesce("n_paras_kept", F.lit(0)).cast("bigint").alias(
+                "n_paras_kept"
+            ),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+        )
+    )
+    return out.withColumnRenamed("id", id_col)

@@ -1,0 +1,158 @@
+"""Curation filters: C4 line rules, Gopher repetition, PII redaction,
+URL canonicalization, corpus-wide paragraph dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphrag_kb_server_spark.operators.curation import (
+    c4_line_filter,
+    gopher_repetition,
+    normalize_url,
+    paragraph_dedup,
+    redact_pii,
+    url_keep,
+)
+
+
+def test_c4_line_filter_rules(spark):
+    text = "\n".join(
+        [
+            "This is a good long sentence.",  # kept
+            "short.",  # < 3 words
+            "no terminal punctuation here",  # no terminal punct
+            "Please enable JavaScript to continue.",  # javascript
+            "function f() { return 1; }",  # brace
+            'He said "stop".',  # kept (quote-terminal counts via .)
+            "Another fine retained line!",  # kept
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    row = c4_line_filter(df, "text").collect()[0]
+    assert row.n_lines == 7
+    assert row.n_lines_kept == 3
+    assert row.c4_text.splitlines() == [
+        "This is a good long sentence.",
+        'He said "stop".',
+        "Another fine retained line!",
+    ]
+    assert row.c4_keep is False  # doc contains '{'
+
+    clean = text.replace("function f() { return 1; }", "A third clean keeper line.")
+    row2 = c4_line_filter(
+        spark.createDataFrame([(1, clean)], "id int, text string"), "text"
+    ).collect()[0]
+    assert row2.n_lines_kept == 4 and row2.c4_keep is True
+
+
+def test_c4_doc_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Lorem ipsum dolor sit amet.\nGood line one here.\nGood line two here.\nGood line three here."),
+            (2, "Good line one here.\nGood line two here."),  # only 2 kept
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in c4_line_filter(df, "text").collect()}
+    assert rows[1].c4_keep is False  # lorem ipsum
+    assert rows[2].c4_keep is False  # < 3 kept lines
+    assert rows[2].n_lines_kept == 2
+
+
+def test_gopher_repetition_fractions(spark):
+    # 5 lines: 'aaaa.' x3 (len 5), 'bb.' (3), 'cccccc.' (7)
+    text = "aaaa.\naaaa.\nbb.\naaaa.\ncccccc."
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    row = gopher_repetition(df, "id", "text").collect()[0]
+    assert row.n_lines == 5
+    assert abs(row.dup_line_frac - 2 / 5) < 1e-9
+    assert abs(row.dup_line_char_frac - 10 / 25) < 1e-9
+
+
+def test_gopher_paragraph_unit(spark):
+    text = "para one.\n\npara one.\n\npara two."
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    row = gopher_repetition(df, "id", "text", sep="\n\n", unit="para").collect()[0]
+    assert row.n_paras == 3
+    assert abs(row.dup_para_frac - 1 / 3) < 1e-6  # stored rounded to 6
+
+
+def test_redact_pii(spark):
+    text = (
+        "Mail bob.smith+x@sub.example.co.uk or admin@host.io, "
+        "server 192.168.1.254 up, call +1-555-0042 today; "
+        "version 1.2 unaffected, 1.2.3.4.5 has a stray tail."
+    )
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    row = redact_pii(df, "text").collect()[0]
+    assert row.n_emails == 2
+    assert row.n_ips == 2  # 192.168.1.254 and the 1.2.3.4 prefix of the tail
+    assert row.n_phones == 1
+    assert "<EMAIL>" in row.redacted and "<IP>" in row.redacted
+    assert "<PHONE>" in row.redacted
+    assert "bob.smith" not in row.redacted
+    assert "version 1.2 unaffected" in row.redacted  # short version strings kept
+
+
+def test_normalize_url(spark):
+    cases = [
+        (
+            "HTTPS://User:pw@WWW.Example.COM:443/Path/Page?utm_source=f&b=2&a=1&fbclid=Z#frag",
+            "https://www.example.com/Path/Page?a=1&b=2",
+        ),
+        ("http://Ex.COM:80/x", "http://ex.com/x"),
+        ("http://ex.com:8080/x?z=1", "http://ex.com:8080/x?z=1"),
+        ("https://ex.com/a?utm_campaign=only", "https://ex.com/a"),
+        ("https://ex.com/plain", "https://ex.com/plain"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    bad = df.withColumn("norm", normalize_url(F.col("url"))).where(
+        F.col("norm") != F.col("expected")
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_url_keep(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://ex.com/article", True),
+            ("https://ex.com/img/pic.JPG", False),
+            ("https://ex.com/app.js?v=2", False),
+            ("ftp://ex.com/file", False),
+            ("https://spam.example/page", False),
+            ("https://ex.com/data.html", True),
+        ],
+        "url string, expected boolean",
+    )
+    got = df.withColumn(
+        "keep", url_keep(F.col("url"), frozenset({"spam.example"}))
+    )
+    assert got.where(F.col("keep") != F.col("expected")).count() == 0
+
+
+def test_paragraph_dedup_first_wins(spark):
+    sep = "\n\n"
+    df = spark.createDataFrame(
+        [
+            (1, sep.join(["own one", "SHARED", "footer"])),
+            (2, sep.join(["own two", "SHARED", "footer"])),
+            (3, sep.join(["SHARED", "footer"])),
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in paragraph_dedup(df, "id", "text").collect()}
+    assert rows[1].text == sep.join(["own one", "SHARED", "footer"])
+    assert rows[2].text == "own two"
+    assert rows[2].n_paras == 3 and rows[2].n_paras_kept == 1
+    assert rows[3].text == ""  # every paragraph seen earlier
+    assert rows[3].n_paras_kept == 0
+
+
+def test_paragraph_dedup_position_order_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, "b\n\na\n\nc"), (2, "z\n\na")],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in paragraph_dedup(df, "id", "text").collect()}
+    assert rows[1].text == "b\n\na\n\nc"  # original order, not sorted text
+    assert rows[2].text == "z"
