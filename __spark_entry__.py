@@ -1535,6 +1535,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cur_paragraph_dedup"] = cur_paragraph_dedup
 
+    def cur_decontaminate(spark, sf):
+        # benchmark = a 16-token excerpt (tokens 3..18) of every 97th
+        # document — so the eval set provably overlaps known training
+        # rows, and the oracle recomputes the same slice independently
+        from graphrag_kb_server_spark.operators.curation import (
+            ngram_decontaminate,
+        )
+
+        docs = _t(spark, sf, "documents")
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+        bench = (
+            docs.where(F.col("doc_id") % 97 == 0)
+            .select(toks.alias("ts"))
+            .where(F.size("ts") >= 18)
+            .select(F.array_join(F.slice("ts", 3, 16), " ").alias("bt"))
+        )
+        return ngram_decontaminate(docs, bench, "doc_id", "text", "bt", n=8)
+    q["cur_decontaminate"] = cur_decontaminate
+
+    # ---- G2b: Louvain-style modularity refinement over LPA. The
+    #      planted-block benchmark graph makes every phase bite (LPA
+    #      over-fragments; merges recover blocks; local moves fix 26
+    #      boundary nodes); the oracle is golden.py's sequential
+    #      re-derivation pinned as VALUES.
+    def _refine_graph(spark):
+        n, block = 150, 10
+        fam = F.array(
+            *[
+                F.struct(
+                    F.lit(off).alias("off"),
+                    F.lit(wi).alias("wi"),
+                    F.lit(wx).alias("wx"),
+                )
+                for off, wi, wx in ((1, 2.0, 1.0), (3, 2.0, 2.0), (37, 1.0, 2.0))
+            ]
+        )
+        e = (
+            spark.range(n)
+            .select(F.col("id").cast("int").alias("i"), F.explode(fam).alias("f"))
+            .select(
+                "i",
+                F.pmod(F.col("i") + F.col("f.off"), F.lit(n)).alias("j"),
+                "f.wi", "f.wx",
+            )
+            .select(
+                F.format_string("v%03d", "i").alias("src"),
+                F.format_string("v%03d", "j").alias("tgt"),
+                F.when(
+                    (F.col("j") - F.pmod("j", F.lit(block))) / block
+                    == (F.col("i") - F.pmod("i", F.lit(block))) / block,
+                    F.col("wi"),
+                ).otherwise(F.col("wx")).alias("weight"),
+            )
+        )
+        return e
+
+    def g2_modularity_refine(spark, sf):
+        from graphrag_kb_server_spark.operators.communities import (
+            label_propagation,
+            modularity_refine,
+        )
+
+        edges = _refine_graph(spark)
+        lab = label_propagation(edges)
+        return modularity_refine(edges, lab)
+    q["g2_modularity_refine"] = g2_modularity_refine
+
+    def g2_refine_distributed(spark, sf):
+        # same rules via the DISTRIBUTED merge/local-move rounds
+        # (size-adaptive guard forced off), reduced round counts to
+        # bound the per-round scheduling cost; oracled against the
+        # sequential twin at the same counts
+        from graphrag_kb_server_spark.operators.communities import (
+            label_propagation,
+            modularity_refine,
+        )
+
+        edges = _refine_graph(spark)
+        lab = label_propagation(edges)
+        return modularity_refine(
+            edges, lab,
+            outer_rounds=1, max_merge_passes=3, local_rounds=3,
+            small_graph_threshold=0,
+        )
+    q["g2_refine_distributed"] = g2_refine_distributed
+
     return _driver_window_order(q)
 
 
@@ -1546,6 +1635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed full-suite artifact (CORRECTNESS_full_r05.json, from
 # tools/check_oracle.py over every registered entry).
 _WINDOW_FIRST = [
+    # new in r5 (modularity refinement + decontamination)
+    "g2_modularity_refine",
+    "g2_refine_distributed",
+    "cur_decontaminate",
     # new in r5 (curation filters)
     "cur_c4_lines",
     "cur_gopher_rep",
@@ -1636,6 +1729,16 @@ def _golden_kg_oracles() -> dict[str, str]:
     out["kg_canonical_map"] = _values_oracle(
         golden.golden_kg_canonical_map(_GOLDEN_N_DOCS),
         {"name": "VARCHAR", "canonical_name": "VARCHAR"},
+    )
+    out["g2_modularity_refine"] = _values_oracle(
+        golden.golden_modularity_refine(),
+        {"node": "VARCHAR", "label": "VARCHAR"},
+    )
+    out["g2_refine_distributed"] = _values_oracle(
+        golden.golden_modularity_refine(
+            outer_rounds=1, max_merge_passes=3, local_rounds=3
+        ),
+        {"node": "VARCHAR", "label": "VARCHAR"},
     )
     out["sample_pack_sequences"] = _values_oracle(
         golden.golden_pack_sequences(_GOLDEN_N_DOCS),
@@ -3065,6 +3168,36 @@ FROM documents
 """
     # independent implementation: window row_number over the paragraph,
     # vs the Spark side's min(struct) aggregation winner election
+    # independent implementation: DuckDB list lambdas re-derive both
+    # n-gram sides; the join/count logic is plain SQL
+    o["cur_decontaminate"] = """
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS ts
+  FROM documents
+),
+bt AS (
+  SELECT ts[3:18] AS bs FROM tok WHERE doc_id % 97 = 0 AND len(ts) >= 18
+),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(bs) - 6),
+    i -> array_to_string(bs[i:i+7], ' '))) AS g
+  FROM bt
+),
+dg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+    i -> array_to_string(ts[i:i+7], ' '))) AS g
+  FROM tok WHERE len(ts) >= 8
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT dg.g) AS overlap_ngrams
+  FROM dg JOIN bg ON dg.g = bg.g GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(overlap_ngrams, 0) > 0 AS contaminated,
+  CAST(coalesce(overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams
+FROM tok t LEFT JOIN hits USING (doc_id)
+"""
     o["cur_paragraph_dedup"] = """
 WITH s AS (
   SELECT doc_id,

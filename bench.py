@@ -333,6 +333,34 @@ def main() -> None:
         repeat_load[name] = loads
         repeat_steal[name] = steals
 
+    # G2b: Louvain-style refinement over the SAME sf-derived KG graph
+    # that g2_lpa_communities benches — tracks the refinement's cost at
+    # sf scale (both ops take the size-adaptive driver path here; the
+    # distributed rounds are oracled separately by g2_refine_distributed)
+    def _refine_kg():
+        from graphrag_kb_server_spark.operators.communities import (
+            label_propagation,
+            modularity_refine,
+        )
+
+        m = entrymod._mentions_from_lineitem(spark, sf_dir).where(
+            F.col("chunk_id").substr(-1, 1).isin("0", "5")
+        )
+        edges = build_edges(m)
+        return modularity_refine(edges, label_propagation(edges))
+
+    runs, loads, steals = [], [], []
+    for _ in range(repeats):
+        loads.append(_loadavg1())
+        ja = _cpu_jiffies()
+        t1 = time.time()
+        _noop_write(_refine_kg())
+        runs.append(time.time() - t1)
+        steals.append(_steal_between(ja, _cpu_jiffies()))
+    repeat_times["g2_refine_kg"] = runs
+    repeat_load["g2_refine_kg"] = loads
+    repeat_steal["g2_refine_kg"] = steals
+
     # The online query path issues many small driver actions whose
     # codegen/JIT warm-up spans the first 2-3 invocations (observed:
     # 22.5 → 5.8 → 5.4 → 4.4s on an idle box) — with 2 repeats the min

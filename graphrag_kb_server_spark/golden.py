@@ -817,3 +817,137 @@ def golden_kg_answer_prompt(n_rows: int = 120, mode: str = "hybrid") -> pd.DataF
     for r in res["references"]:
         rows.append(("reference", r["reference_id"], r["file_path"]))
     return pd.DataFrame(rows, columns=["section", "ix", "a"])
+
+
+# ── G2 modularity refinement twin (ring-of-triangles benchmark graph) ──
+
+def golden_refine_graph_edges(n: int = 150, block: int = 10) -> list[tuple[str, str, float]]:
+    """The deterministic refinement benchmark graph: ``n`` nodes in
+    planted blocks of ``block``, three circulant edge families
+    (offsets 1/3/37) whose weights favor intra-block structure but
+    carry heavy cross-block noise. Chosen so each refinement phase
+    BITES: LPA over-fragments (53 communities), mutual-best merges
+    recover ~5 blocks (Q 0.55), and strict-gain local moves then
+    relocate 26 boundary nodes (Q 0.60) — all integer weights, so
+    driver and distributed paths are bit-identical."""
+    v = lambda i: f"v{i:03d}"
+    edges: list[tuple[str, str, float]] = []
+    for i in range(n):
+        for off, wi, wx in ((1, 2.0, 1.0), (3, 2.0, 2.0), (37, 1.0, 2.0)):
+            j = (i + off) % n
+            w = wi if j // block == i // block else wx
+            edges.append((v(i), v(j), w))
+    return edges
+
+
+def golden_modularity_refine(
+    outer_rounds: int = 2,
+    max_merge_passes: int = 8,
+    local_rounds: int = 6,
+) -> pd.DataFrame:
+    """Sequential re-derivation of LPA + modularity refinement over the
+    planted-block benchmark graph — semi-sync label propagation
+    (stride-3 md5-parity, prefer-current ties), then alternating
+    mutual-best community merges and strict-gain local moves.
+    Independent of operators/communities.py (pure python, adjacency
+    dicts)."""
+    import hashlib
+    from collections import defaultdict
+
+    edges = golden_refine_graph_edges()
+    adj: dict = defaultdict(list)
+    for s, t, w in edges:
+        adj[s].append((t, w))
+        adj[t].append((s, w))
+    for lst in adj.values():
+        lst.sort()
+    nodes = sorted(adj)
+    stride = 3
+    par = {
+        n: int(hashlib.md5(n.encode()).hexdigest()[:8], 16) % stride
+        for n in nodes
+    }
+    m = sum(w for _, _, w in edges)
+    deg = {n: sum(w for _, w in adj[n]) for n in nodes}
+
+    # semi-sync LPA, 12 rounds max, full-sweep convergence
+    lab = {n: n for n in nodes}
+    it = 0
+    while it < 12:
+        changed = 0
+        for _ in range(min(stride, 12 - it)):
+            active = it % stride
+            new = dict(lab)
+            for n in nodes:
+                if par[n] != active:
+                    continue
+                votes: dict = defaultdict(float)
+                for nb, w in adj[n]:
+                    votes[lab[nb]] += w
+                top = max(votes.values())
+                cands = [l for l, v in votes.items() if v == top]
+                pick = lab[n] if lab[n] in cands else min(cands)
+                if pick != lab[n]:
+                    changed += 1
+                new[n] = pick
+            lab = new
+            it += 1
+        if changed == 0:
+            break
+
+    for _ in range(outer_rounds):
+        # mutual-best merges
+        for _p in range(max_merge_passes):
+            tot: dict = defaultdict(float)
+            for n in nodes:
+                tot[lab[n]] += deg[n]
+            inter: dict = defaultdict(float)
+            for s, t, w in edges:
+                cs, ct = lab[s], lab[t]
+                if cs != ct:
+                    inter[(min(cs, ct), max(cs, ct))] += w
+            best: dict = {}
+            for (ca, cb), w in sorted(inter.items()):
+                dq = w / m - tot[ca] * tot[cb] / (2 * m * m)
+                for x, y in ((ca, cb), (cb, ca)):
+                    cur = best.get(x)
+                    if cur is None or dq > cur[0] or (dq == cur[0] and y < cur[1]):
+                        best[x] = (dq, y)
+            merges = {}
+            for x, (dq, y) in best.items():
+                if dq > 0 and best.get(y, (0.0, None))[1] == x:
+                    merges[max(x, y)] = min(x, y)
+            if not merges:
+                break
+            lab = {n: merges.get(l, l) for n, l in lab.items()}
+        # strict-gain semi-sync local moves
+        for r in range(local_rounds):
+            active = r % stride
+            tot = defaultdict(float)
+            for n in nodes:
+                tot[lab[n]] += deg[n]
+            new = dict(lab)
+            for n in nodes:
+                if par[n] != active:
+                    continue
+                wc: dict = defaultdict(float)
+                for nb, w in adj[n]:
+                    wc[lab[nb]] += w
+                curc = lab[n]
+                base = wc.get(curc, 0.0)
+                bc, bdq = curc, 0.0
+                for c in sorted(wc):
+                    if c == curc:
+                        continue
+                    dq = (wc[c] - base) / m - deg[n] * (
+                        tot[c] - (tot[curc] - deg[n])
+                    ) / (2 * m * m)
+                    if dq > bdq:
+                        bc, bdq = c, dq
+                if bc != curc:
+                    new[n] = bc
+            lab = new
+
+    return pd.DataFrame(
+        sorted(lab.items()), columns=["node", "label"]
+    )

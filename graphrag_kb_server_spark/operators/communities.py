@@ -463,3 +463,344 @@ def community_table(assignments: DataFrame, nodes: DataFrame) -> DataFrame:
         )
         .orderBy("level", F.desc("size"), "cluster")
     )
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Louvain-style modularity refinement on top of LPA
+# ──────────────────────────────────────────────────────────────────────
+
+def graph_modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "tgt",
+    weight: str | None = "weight",
+) -> float:
+    """Weighted Newman modularity of a (node, label) partition —
+    ``Q = Σ_c [intra_c/m − (tot_c/2m)²]`` with m = total edge weight,
+    intra_c counting each undirected edge once, tot_c the summed
+    endpoint degrees. Three partial-aggregated jobs; returns a driver
+    float (it is a diagnostic scalar, not a pipeline stage)."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+    el = e.join(la, "a").join(lb, "b")
+    m = el.agg(F.sum("w")).first()[0] or 0.0
+    if m <= 0:
+        return 0.0
+    intra = (
+        el.where(F.col("la") == F.col("lb"))
+        .agg(F.sum("w")).first()[0] or 0.0
+    )
+    tot_sq = (
+        el.select(F.col("la").alias("c"), "w")
+        .unionByName(el.select(F.col("lb").alias("c"), "w"))
+        .groupBy("c").agg(F.sum("w").alias("tot"))
+        .agg(F.sum(F.col("tot") * F.col("tot"))).first()[0] or 0.0
+    )
+    return float(intra / m - tot_sq / (4 * m * m))
+
+
+def _refine_driver(
+    sym_rows, label_rows, m: float, outer_rounds: int,
+    max_merge_passes: int, local_rounds: int,
+):
+    """Sequential twin of the distributed refinement rounds — identical
+    deterministic rules (mutual-best merges, strict-gain semi-sync
+    local moves), one collect instead of per-round shuffles."""
+    import hashlib
+    from collections import defaultdict
+
+    adj: dict = defaultdict(list)
+    for a, b, w in sym_rows:
+        adj[a].append((b, w))
+    nodes = sorted(adj)
+    deg = {n: sum(w for _, w in adj[n]) for n in nodes}
+    par = {
+        n: int(hashlib.md5(n.encode("utf-8")).hexdigest()[:8], 16) % LPA_STRIDE
+        for n in nodes
+    }
+    labels = dict(label_rows)
+
+    def merge_passes():
+        nonlocal labels
+        for _ in range(max_merge_passes):
+            inter: dict = defaultdict(float)
+            tot: dict = defaultdict(float)
+            for n in nodes:
+                tot[labels[n]] += deg[n]
+            for a, b, w in sym_rows:
+                ca, cb = labels[a], labels[b]
+                if ca != cb and ca < cb:  # sym carries both directions
+                    inter[(ca, cb)] += w
+            best: dict = {}
+            for (ca, cb), w in sorted(inter.items()):
+                dq = w / m - tot[ca] * tot[cb] / (2 * m * m)
+                for x, y in ((ca, cb), (cb, ca)):
+                    cur = best.get(x)
+                    if cur is None or dq > cur[0] or (dq == cur[0] and y < cur[1]):
+                        best[x] = (dq, y)
+            merges = {}
+            for x, (dq, y) in best.items():
+                if dq > 0 and best.get(y, (0.0, None))[1] == x:
+                    merges[max(x, y)] = min(x, y)
+            if not merges:
+                break
+            labels = {n: merges.get(l, l) for n, l in labels.items()}
+
+    def local_moves():
+        nonlocal labels
+        for r in range(local_rounds):
+            active = r % LPA_STRIDE
+            tot: dict = defaultdict(float)
+            for n in nodes:
+                tot[labels[n]] += deg[n]
+            new = dict(labels)
+            for n in nodes:
+                if par[n] != active:
+                    continue
+                wc: dict = defaultdict(float)
+                for nb, w in adj[n]:
+                    wc[labels[nb]] += w
+                cur = labels[n]
+                base = wc.get(cur, 0.0)
+                bestc, bestdq = cur, 0.0
+                for c in sorted(wc):
+                    if c == cur:
+                        continue
+                    dq = (wc[c] - base) / m - deg[n] * (
+                        tot[c] - (tot[cur] - deg[n])
+                    ) / (2 * m * m)
+                    if dq > bestdq or (dq == bestdq and bestdq > 0 and c < bestc):
+                        bestc, bestdq = c, dq
+                if bestc != cur:
+                    new[n] = bestc
+            labels = new
+
+    for _ in range(outer_rounds):
+        merge_passes()
+        local_moves()
+    return labels
+
+
+def modularity_refine(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "tgt",
+    weight: str | None = "weight",
+    outer_rounds: int = 2,
+    max_merge_passes: int = 8,
+    local_rounds: int = 6,
+    small_graph_threshold: int = 600_000,
+) -> DataFrame:
+    """Louvain-style refinement of an LPA partition → (node, label).
+
+    LPA over-fragments (it has no global objective); this pass closes
+    most of the modularity gap to Leiden with two deterministic,
+    distributable moves, alternated ``outer_rounds`` times:
+
+    1. **Mutual-best community merges** (Louvain phase 2 on the
+       coarsened graph): for every community pair with inter-edges,
+       ΔQ = w_ab/m − tot_a·tot_b/2m²; each community nominates its
+       best partner (ΔQ desc, label asc) and a merge applies iff the
+       choice is MUTUAL and ΔQ > 0 — a disjoint matching, so all
+       merges of a pass commute and the result is order-independent.
+       Repeats until no pair qualifies (≤ ``max_merge_passes``).
+    2. **Semi-synchronous local moves** (Louvain phase 1): node n
+       moves to the neighboring community maximizing
+       ΔQ = (w_nc − w_ncur)/m − k_n(tot_c − tot_cur + k_n)/2m², strict
+       gain only, one md5-parity class per round (the same
+       Cordasco-Gargano schedule as LPA, so moves never chase each
+       other within a round).
+
+    On the reference's shipped onepoint graph this lifts semi-sync LPA
+    from modularity 0.467 to 0.537 = 98.5% of the Leiden partition the
+    reference ships (tests/test_ref_communities.py pins the bound).
+
+    Scale: both moves run on aggregates of the COARSE graph (tot per
+    community, wc per node×neighbor-community) — partial-aggregated
+    shuffles keyed by community/node, never all-pairs. Merges touch
+    only communities that share an edge. Same size-adaptive execution
+    as LPA: below ``small_graph_threshold`` sym rows the identical
+    rules run as a driver loop (string ids only — parity hashes the
+    same bytes); above, everything stays distributed. With
+    integer-valued weights both paths are bit-identical (all sums are
+    exact in doubles); fractional weights may flip exact-ΔQ ties
+    between paths — both results remain valid local optima.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .withColumn("_par", _lpa_parity(F.col("a")))
+        .localCheckpoint(eager=True)
+    )
+    m = float(e.agg(F.sum("w")).first()[0] or 0.0)
+    if m <= 0:
+        return labels
+    lab = labels.select("node", "label").localCheckpoint(eager=True)
+
+    if (
+        sym.schema["a"].dataType.simpleString() == "string"
+        and sym.count() <= small_graph_threshold
+    ):
+        from pyspark.sql import types as T
+
+        out = _refine_driver(
+            [(r["a"], r["b"], r["w"]) for r in sym.collect()],
+            [(r["node"], r["label"]) for r in lab.collect()],
+            m, outer_rounds, max_merge_passes, local_rounds,
+        )
+        dt = lab.schema["node"].dataType
+        return lab.sparkSession.createDataFrame(
+            sorted(out.items()),
+            T.StructType(
+                [T.StructField("node", dt), T.StructField("label", dt)]
+            ),
+        )
+
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.sum("w").alias("deg")
+    ).localCheckpoint(eager=True)
+    two_m2 = 2 * m * m
+
+    for _ in range(outer_rounds):
+        # -- phase 2: mutual-best merges until none qualifies
+        for _p in range(max_merge_passes):
+            la = lab.select(F.col("node").alias("a"), F.col("label").alias("la"))
+            lb = lab.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+            el = e.join(la, "a").join(lb, "b")
+            tot = (
+                el.select(F.col("la").alias("c"), "w")
+                .unionByName(el.select(F.col("lb").alias("c"), "w"))
+                .groupBy("c").agg(F.sum("w").alias("tot"))
+            )
+            inter = (
+                el.where(F.col("la") != F.col("lb"))
+                .select(
+                    F.least("la", "lb").alias("ca"),
+                    F.greatest("la", "lb").alias("cb"),
+                    "w",
+                )
+                .groupBy("ca", "cb").agg(F.sum("w").alias("wab"))
+            )
+            pairs = (
+                inter.join(tot.withColumnRenamed("c", "ca"), "ca")
+                .withColumnRenamed("tot", "ta")
+                .join(tot.withColumnRenamed("c", "cb"), "cb")
+                .withColumnRenamed("tot", "tb")
+                .select(
+                    "ca", "cb",
+                    (
+                        F.col("wab") / F.lit(m)
+                        - F.col("ta") * F.col("tb") / F.lit(two_m2)
+                    ).alias("dq"),
+                )
+            )
+            cand = pairs.select(
+                F.col("ca").alias("x"), F.col("cb").alias("y"), "dq"
+            ).unionByName(
+                pairs.select(
+                    F.col("cb").alias("x"), F.col("ca").alias("y"), "dq"
+                )
+            )
+            rk = Window.partitionBy("x").orderBy(F.desc("dq"), "y")
+            best = (
+                cand.withColumn("_rk", F.row_number().over(rk))
+                .where((F.col("_rk") == 1) & (F.col("dq") > 0))
+                .select("x", "y")
+            )
+            mutual = best.join(
+                best.select(
+                    F.col("x").alias("y"), F.col("y").alias("x")
+                ),
+                ["x", "y"],
+            )
+            merges = mutual.where(F.col("x") > F.col("y")).select(
+                F.col("x").alias("label"), F.col("y").alias("_to")
+            )
+            # one driver action per pass: the merge count doubles as
+            # the materialization of this pass's lazy lineage
+            merges = merges.localCheckpoint(eager=True)
+            if merges.count() == 0:
+                break
+            lab = (
+                lab.join(merges, "label", "left")
+                .select(
+                    "node", F.coalesce("_to", F.col("label")).alias("label")
+                )
+                .localCheckpoint(eager=False)
+            )
+
+        # -- phase 1: semi-sync strict-gain local moves (fixed rounds,
+        #    zero mid-loop actions; a converged round is the identity)
+        for r in range(local_rounds):
+            tot = (
+                lab.join(deg, "node")
+                .groupBy("label").agg(F.sum("deg").alias("tot"))
+            )
+            wc = (
+                sym.where(F.col("_par") == F.lit(r % LPA_STRIDE))
+                .join(
+                    lab.select(
+                        F.col("node").alias("b"), F.col("label").alias("c")
+                    ),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("node"), "c")
+                .agg(F.sum("w").alias("wv"))
+            )
+            cur = (
+                lab.select("node", F.col("label").alias("_cur"))
+                .join(deg, "node")
+                .join(
+                    tot.select(
+                        F.col("label").alias("_cur"),
+                        F.col("tot").alias("_tcur"),
+                    ),
+                    "_cur",
+                )
+            )
+            wbase = Window.partitionBy("node")
+            cand = (
+                wc.join(cur, "node")
+                .join(tot.withColumnRenamed("label", "c"), "c")
+                .withColumn(
+                    "_base",
+                    F.coalesce(
+                        F.max(
+                            F.when(F.col("c") == F.col("_cur"), F.col("wv"))
+                        ).over(wbase),
+                        F.lit(0.0),
+                    ),
+                )
+                .withColumn(
+                    "dq",
+                    (F.col("wv") - F.col("_base")) / F.lit(m)
+                    - F.col("deg")
+                    * (F.col("tot") - (F.col("_tcur") - F.col("deg")))
+                    / F.lit(two_m2),
+                )
+                .where((F.col("c") != F.col("_cur")) & (F.col("dq") > 0))
+            )
+            mv = Window.partitionBy("node").orderBy(F.desc("dq"), "c")
+            moves = (
+                cand.withColumn("_rk", F.row_number().over(mv))
+                .where(F.col("_rk") == 1)
+                .select("node", F.col("c").alias("_new"))
+            )
+            # lazy within a sweep, EAGER at sweep end: each round
+            # references lab three times (tot/wc/cur), and an
+            # unmaterialized chain of such rounds re-expands
+            # multiplicatively — one materialization per parity sweep
+            # keeps the cascade linear (same schedule as LPA groups)
+            lab = lab.join(moves, "node", "left").select(
+                "node", F.coalesce("_new", F.col("label")).alias("label")
+            )
+            lab = lab.localCheckpoint(eager=(r % LPA_STRIDE == LPA_STRIDE - 1))
+        lab = lab.localCheckpoint(eager=True)
+    return lab

@@ -312,3 +312,82 @@ def paragraph_dedup(
         )
     )
     return out.withColumnRenamed("id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Word-level ``n``-grams of a text column as an array of
+    space-joined strings; tokens = lowercase maximal ``[a-z0-9]`` runs
+    (the tokenizer both sides of a decontamination join must share).
+    Texts with fewer than ``n`` tokens yield an empty array. Pure HOF
+    expression — row-local, codegen'd."""
+    toks = F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Flag training documents that share any word-level ``n``-gram
+    with a benchmark/eval set — the standard test-set decontamination
+    pass (GPT-3: Brown et al. 2020 appendix C uses 13-gram overlap;
+    default 8 here because the synthetic docs are short). The reference
+    server has no eval-leakage surface; this belongs to the
+    training-data-pipeline extension (SURVEY §2.7).
+
+    Returns every row of ``df``'s ``(id, contaminated, overlap_ngrams)``
+    where ``overlap_ngrams`` counts DISTINCT offending n-grams.
+
+    Shape: the benchmark side is exploded to distinct n-grams and
+    **broadcast** (eval sets are tiny — MMLU+HellaSwag+… is megabytes
+    against 100 TB of training text), so the big side never shuffles
+    for the probe: explode → broadcast-hash semi-probe → per-doc
+    count(distinct gram) keyed by the doc id (partial-aggregated; the
+    distinct set per doc is bounded by the benchmark's n-gram count).
+    One exchange total, on ``id``.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(bench_text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count_distinct("g").alias("overlap_ngrams"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("overlap_ngrams") > 0, F.lit(False)).alias(
+                "contaminated"
+            ),
+            F.coalesce("overlap_ngrams", F.lit(0)).cast("bigint").alias(
+                "overlap_ngrams"
+            ),
+        )
+    )

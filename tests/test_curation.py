@@ -156,3 +156,51 @@ def test_paragraph_dedup_position_order_preserved(spark):
     rows = {r.id: r for r in paragraph_dedup(df, "id", "text").collect()}
     assert rows[1].text == "b\n\na\n\nc"  # original order, not sorted text
     assert rows[2].text == "z"
+
+
+def test_word_ngrams_tokenizer_and_short_text(spark):
+    from graphrag_kb_server_spark.operators.curation import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "The cat, the CAT sat!"), (2, "too short")],
+        "id int, text string",
+    )
+    rows = {
+        r.id: r.g
+        for r in df.select("id", word_ngrams(F.col("text"), 3).alias("g"))
+        .collect()
+    }
+    # punctuation/case-insensitive tokens: the cat the cat sat
+    assert rows[1] == ["the cat the", "cat the cat", "the cat sat"]
+    assert rows[2] == []  # fewer than n tokens -> empty, not null
+
+
+def test_ngram_decontaminate_flags_verbatim_inclusion(spark):
+    from graphrag_kb_server_spark.operators.curation import (
+        ngram_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",)], "bt string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the excerpt verbatim (modulo case/punct) -> both
+            # 4-grams of the 5-token benchmark text hit
+            (1, "Intro words. ALPHA beta, gamma delta epsilon. Outro."),
+            # shares only a 3-token run -> clean at n=4
+            (2, "beta gamma delta elsewhere entirely different words"),
+            (3, "no overlap at all in this one"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_decontaminate(
+            docs, bench, "doc_id", "text", "bt", n=4
+        ).collect()
+    }
+    assert rows[1].contaminated and rows[1].overlap_ngrams == 2
+    assert not rows[2].contaminated and rows[2].overlap_ngrams == 0
+    assert not rows[3].contaminated
+    assert len(rows) == 3  # every input doc gets a row

@@ -130,6 +130,66 @@ def test_distributed_rounds_match_driver_loop(spark):
     assert drv == dist
 
 
+def test_modularity_refine_closes_gap_to_leiden(spark):
+    """Louvain-style refinement over LPA must recover ≥ 95% of the
+    shipped Leiden partition's modularity on the reference's own graph
+    (measured 0.537 / 0.545 = 98.5%), and graph_modularity() must agree
+    with this suite's independent python scorer."""
+    from graphrag_kb_server_spark.operators.communities import (
+        graph_modularity,
+        label_propagation,
+        modularity_refine,
+    )
+
+    edges = _onepoint_edges()
+    ref = _reference_leiden_partition()
+    q_ref = _modularity(ref, edges)
+
+    edf = spark.createDataFrame(edges, "src string, tgt string, weight double")
+    lab = label_propagation(edf)
+    q_lpa = _modularity(
+        {r["node"]: ("c", r["label"]) for r in lab.collect()}, edges
+    )
+    refined = modularity_refine(edf, lab)
+    part = {r["node"]: ("c", r["label"]) for r in refined.collect()}
+    q_ref_mine = _modularity(part, edges)
+
+    assert q_ref_mine > q_lpa  # the refinement must actually help
+    assert q_ref_mine >= 0.95 * q_ref, (q_ref_mine, q_ref)
+
+    # operator scorer == this suite's python scorer (all nodes labeled,
+    # so the singleton fallback never fires)
+    q_op = graph_modularity(edf, refined)
+    assert abs(q_op - q_ref_mine) < 1e-9, (q_op, q_ref_mine)
+
+
+def test_refine_distributed_matches_driver_loop(spark):
+    """modularity_refine's size-adaptive guard must be a pure
+    execution-strategy choice: same labeling either way (integer
+    weights → bit-identical ΔQ on both paths)."""
+    from graphrag_kb_server_spark.operators.communities import (
+        label_propagation,
+        modularity_refine,
+    )
+    from graphrag_kb_server_spark.golden import golden_refine_graph_edges
+
+    edges = golden_refine_graph_edges()
+    edf = spark.createDataFrame(edges, "src string, tgt string, weight double")
+    lab = label_propagation(edf)
+    kw = dict(outer_rounds=1, max_merge_passes=3, local_rounds=3)
+    drv = {
+        (r["node"], r["label"])
+        for r in modularity_refine(edf, lab, **kw).collect()
+    }
+    dist = {
+        (r["node"], r["label"])
+        for r in modularity_refine(
+            edf, lab, small_graph_threshold=0, **kw
+        ).collect()
+    }
+    assert drv == dist
+
+
 def test_hierarchical_split_respects_max_size_on_dwell1(spark):
     from graphrag_kb_server_spark.operators.communities import (
         hierarchical_communities,
