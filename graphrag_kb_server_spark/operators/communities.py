@@ -227,8 +227,15 @@ def hierarchical_communities(
     max_levels: int = 4,
     lpa_iterations: int = 10,
     use_lcc: bool = True,
+    refine: bool = False,
 ) -> DataFrame:
     """→ (node, level INT, cluster STRING, parent_cluster STRING|NULL).
+
+    ``refine=True`` runs the Louvain-style ``modularity_refine`` pass
+    on the level-0 LPA partition before hierarchical splitting —
+    closes the LPA→Leiden modularity gap (98.5% on the reference's
+    shipped onepoint graph) at the cost of the refinement rounds;
+    defaults off to keep the shipped level-0 oracles byte-stable.
 
     ``use_lcc=True`` (the reference's behavior): clustering runs over
     the LARGEST CONNECTED COMPONENT only — the reference extracts the
@@ -249,7 +256,10 @@ def hierarchical_communities(
             .join(lcc.withColumnRenamed("node", "tgt"), "tgt")
         )
     assignments: list[DataFrame] = []
-    lvl0 = label_propagation(edges, max_iterations=lpa_iterations).select(
+    lvl0_lab = label_propagation(edges, max_iterations=lpa_iterations)
+    if refine:
+        lvl0_lab = modularity_refine(edges, lvl0_lab)
+    lvl0 = lvl0_lab.select(
         "node", F.lit(0).alias("level"), F.col("label").alias("cluster"),
         F.lit(None).cast("string").alias("parent_cluster"),
     ).localCheckpoint(eager=True)
@@ -280,8 +290,14 @@ def hierarchical_communities(
             max_iterations=lpa_iterations,
         )
         parent_of = members.withColumnRenamed("cluster", "parent")
+        # LEFT join: members with no intra-cluster edge never appear in
+        # the LPA output (its node set derives from edges); they become
+        # singleton children instead of silently keeping an oversize
+        # leaf (pre-r5 bug: hash buckets with no internal edges were
+        # never revisited).
         child = (
-            sub.join(parent_of, "node")
+            parent_of.join(sub, "node", "left")
+            .withColumn("label", F.coalesce("label", F.col("node")))
             .select(
                 "node",
                 F.lit(level).alias("level"),
@@ -289,24 +305,43 @@ def hierarchical_communities(
                 F.col("parent").alias("parent_cluster"),
             )
         )
-        # forced progress: if a child cluster == whole parent and still
-        # oversize, hash-split it into ceil(n/max) buckets
+        # forced progress — mirrors graspologic's splitting of
+        # indivisible oversize clusters: when LPA made no progress
+        # (child == whole parent) or this is the last level, chunk the
+        # cluster into contiguous row_number buckets. Unlike a hash-mod
+        # split, this is BALANCED: every bucket is <= max_cluster_size
+        # by construction, so the size contract holds at every leaf.
         csize_w = Window.partitionBy("cluster")
-        child = child.withColumn("_n", F.count(F.lit(1)).over(csize_w))
-        child = child.withColumn(
-            "cluster",
-            F.when(
-                F.col("_n") > max_cluster_size,
-                F.concat(
-                    "cluster",
-                    F.lit("#"),
-                    F.pmod(
-                        F.xxhash64("node"),
-                        F.ceil(F.col("_n") / F.lit(max_cluster_size)).cast("long"),
-                    ).cast("string"),
-                ),
-            ).otherwise(F.col("cluster")),
-        ).drop("_n").localCheckpoint(eager=True)
+        parent_sizes = sizes.select(
+            F.col("cluster").alias("parent_cluster"), F.col("n").alias("_pn")
+        )
+        child = (
+            child.join(parent_sizes, "parent_cluster", "left")
+            .withColumn("_n", F.count(F.lit(1)).over(csize_w))
+            .withColumn(
+                "_force",
+                (F.col("_n") > max_cluster_size)
+                & ((F.col("_n") == F.col("_pn")) | F.lit(level == max_levels)),
+            )
+            .withColumn(
+                "_rk", F.row_number().over(Window.partitionBy("cluster").orderBy("node"))
+            )
+            .withColumn(
+                "cluster",
+                F.when(
+                    F.col("_force"),
+                    F.concat(
+                        "cluster",
+                        F.lit("#"),
+                        F.floor((F.col("_rk") - F.lit(1)) / F.lit(max_cluster_size)).cast(
+                            "string"
+                        ),
+                    ),
+                ).otherwise(F.col("cluster")),
+            )
+            .select("node", "level", "cluster", "parent_cluster")
+            .localCheckpoint(eager=True)
+        )
         assignments.append(child)
         current = child
 

@@ -211,3 +211,36 @@ def test_hierarchical_split_respects_max_size_on_dwell1(spark):
     assert max(sizes.values()) <= 30
     # level 0 covers the LCC (167 of 359 dwell1 nodes)
     assert len({n for n, (lvl, _) in leaf.items()}) == 167
+
+def test_hierarchical_refine_option(spark):
+    """refine=True must lift level-0 modularity over plain LPA while
+    preserving the output contract (schema, level-0 totality, splitting
+    still bounded by max_cluster_size)."""
+    from graphrag_kb_server_spark.operators.communities import (
+        hierarchical_communities,
+    )
+
+    edges = _onepoint_edges()
+    edf = spark.createDataFrame(edges, "src string, tgt string, weight double")
+    plain = hierarchical_communities(edf, max_cluster_size=30, max_levels=3)
+    refined = hierarchical_communities(
+        edf, max_cluster_size=30, max_levels=3, refine=True
+    )
+    assert plain.columns == refined.columns
+
+    def _lvl0(asg):
+        return {
+            r["node"]: ("c", r["cluster"])
+            for r in asg.where(F.col("level") == 0).collect()
+        }
+
+    p0, r0 = _lvl0(plain), _lvl0(refined)
+    assert set(p0) == set(r0)  # same LCC node coverage
+    assert _modularity(r0, edges) > _modularity(p0, edges)
+
+    leaf: dict = {}
+    for r in refined.collect():
+        if r["node"] not in leaf or r["level"] > leaf[r["node"]][0]:
+            leaf[r["node"]] = (r["level"], r["cluster"])
+    sizes = collections.Counter(v for v in leaf.values())
+    assert max(sizes.values()) <= 30
