@@ -51,8 +51,9 @@ def _label_propagation_driver(sym: DataFrame, max_iterations: int) -> DataFrame:
     from collections import defaultdict
 
     adj: dict[str, list] = defaultdict(list)
-    for r in sym.collect():
-        adj[r["a"]].append((r["b"], r["w"]))
+    pdf = sym.select("a", "b", "w").toPandas()  # Arrow batch, not Rows
+    for a, b, w in zip(pdf["a"], pdf["b"], pdf["w"]):
+        adj[a].append((b, float(w)))
     for lst in adj.values():
         lst.sort()  # deterministic accumulation order
     nodes = sorted(adj)
@@ -558,19 +559,28 @@ def _refine_driver(
     }
     labels = dict(label_rows)
 
-    def merge_passes():
+    def merge_passes() -> bool:
+        # The best-partner selection is a running maximum under the
+        # total order (dq desc, partner asc) — order-independent, so no
+        # sort over the pair dict is needed. The coarse inter/tot
+        # aggregates are built from the raw edges ONCE per invocation
+        # and REMAPPED through each pass's disjoint merge matching
+        # (O(P) per pass instead of O(E)); with integer-valued weights
+        # the regrouped float sums are exact, so the output is
+        # bit-identical to the per-pass recompute.
         nonlocal labels
+        tot: dict = defaultdict(float)
+        for n in nodes:
+            tot[labels[n]] += deg[n]
+        inter: dict = defaultdict(float)
+        for a, b, w in sym_rows:
+            ca, cb = labels[a], labels[b]
+            if ca != cb and ca < cb:  # sym carries both directions
+                inter[(ca, cb)] += w
+        merged_any = False
         for _ in range(max_merge_passes):
-            inter: dict = defaultdict(float)
-            tot: dict = defaultdict(float)
-            for n in nodes:
-                tot[labels[n]] += deg[n]
-            for a, b, w in sym_rows:
-                ca, cb = labels[a], labels[b]
-                if ca != cb and ca < cb:  # sym carries both directions
-                    inter[(ca, cb)] += w
             best: dict = {}
-            for (ca, cb), w in sorted(inter.items()):
+            for (ca, cb), w in inter.items():
                 dq = w / m - tot[ca] * tot[cb] / (2 * m * m)
                 for x, y in ((ca, cb), (cb, ca)):
                     cur = best.get(x)
@@ -582,16 +592,29 @@ def _refine_driver(
                     merges[max(x, y)] = min(x, y)
             if not merges:
                 break
+            merged_any = True
             labels = {n: merges.get(l, l) for n, l in labels.items()}
+            for x, y in merges.items():  # y absorbs x
+                tot[y] += tot.pop(x)
+            nxt: dict = defaultdict(float)
+            for (ca, cb), w in inter.items():
+                ma, mb = merges.get(ca, ca), merges.get(cb, cb)
+                if ma != mb:
+                    nxt[(ma, mb) if ma < mb else (mb, ma)] += w
+            inter = nxt
+        return merged_any
 
-    def local_moves():
+    def local_moves() -> bool:
         nonlocal labels
+        moved_any = False
+        idle_rounds = 0
         for r in range(local_rounds):
             active = r % LPA_STRIDE
             tot: dict = defaultdict(float)
             for n in nodes:
                 tot[labels[n]] += deg[n]
             new = dict(labels)
+            changed = 0
             for n in nodes:
                 if par[n] != active:
                     continue
@@ -601,21 +624,34 @@ def _refine_driver(
                 cur = labels[n]
                 base = wc.get(cur, 0.0)
                 bestc, bestdq = cur, 0.0
-                for c in sorted(wc):
+                # running max under (dq desc, label asc) — iteration
+                # order over wc is irrelevant, no sort needed
+                for c, wv in wc.items():
                     if c == cur:
                         continue
-                    dq = (wc[c] - base) / m - deg[n] * (
+                    dq = (wv - base) / m - deg[n] * (
                         tot[c] - (tot[cur] - deg[n])
                     ) / (2 * m * m)
                     if dq > bestdq or (dq == bestdq and bestdq > 0 and c < bestc):
                         bestc, bestdq = c, dq
                 if bestc != cur:
                     new[n] = bestc
+                    changed += 1
             labels = new
+            # a full parity stride with zero moves is a fixpoint of the
+            # schedule: every later round replays an already-idle class
+            # on unchanged state — identity, so breaking is exact
+            moved_any = moved_any or changed > 0
+            idle_rounds = 0 if changed else idle_rounds + 1
+            if idle_rounds >= LPA_STRIDE:
+                break
+        return moved_any
 
     for _ in range(outer_rounds):
-        merge_passes()
-        local_moves()
+        merged = merge_passes()
+        moved = local_moves()
+        if not merged and not moved:
+            break  # a no-op outer round makes every later one a no-op
     return labels
 
 
@@ -674,29 +710,41 @@ def modularity_refine(
         .withColumn("_par", _lpa_parity(F.col("a")))
         .localCheckpoint(eager=True)
     )
-    m = float(e.agg(F.sum("w")).first()[0] or 0.0)
+    # size + 2m in ONE job over the CHECKPOINT — aggregating `e`
+    # instead would replay the caller's whole upstream plan (the KG
+    # edges build) a second time. sym carries each edge twice, and the
+    # halved double-sum equals the single-sum exactly for the
+    # integer-valued weights the bit-parity contract covers.
+    stats = sym.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("w2")
+    ).first()
+    m = float(stats["w2"] or 0.0) / 2.0
     if m <= 0:
         return labels
-    lab = labels.select("node", "label").localCheckpoint(eager=True)
+    n_sym = stats["n"]
 
     if (
         sym.schema["a"].dataType.simpleString() == "string"
-        and sym.count() <= small_graph_threshold
+        and n_sym <= small_graph_threshold
     ):
         from pyspark.sql import types as T
 
+        spdf = sym.select("a", "b", "w").toPandas()  # Arrow, not Rows
+        lpdf = labels.select("node", "label").toPandas()
         out = _refine_driver(
-            [(r["a"], r["b"], r["w"]) for r in sym.collect()],
-            [(r["node"], r["label"]) for r in lab.collect()],
+            list(zip(spdf["a"], spdf["b"], (float(x) for x in spdf["w"]))),
+            list(zip(lpdf["node"], lpdf["label"])),
             m, outer_rounds, max_merge_passes, local_rounds,
         )
-        dt = lab.schema["node"].dataType
-        return lab.sparkSession.createDataFrame(
+        dt = labels.schema["node"].dataType
+        return labels.sparkSession.createDataFrame(
             sorted(out.items()),
             T.StructType(
                 [T.StructField("node", dt), T.StructField("label", dt)]
             ),
         )
+
+    lab = labels.select("node", "label").localCheckpoint(eager=True)
 
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.sum("w").alias("deg")
