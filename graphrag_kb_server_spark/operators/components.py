@@ -80,14 +80,18 @@ def connected_components(
                 x = parent[x]
             return x
 
-        rows = sym.collect()
-        for r in rows:
-            ra, rb = find(r["a"]), find(r["b"])
+        # Arrow collect + .tolist(): plain python str/int values, so
+        # min semantics and createDataFrame typing match the legacy
+        # Row path exactly (numpy scalars never reach the union-find)
+        pdf = sym.select("a", "b").toPandas()
+        pairs = list(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
             if ra != rb:
                 # union by min keeps component id = min member
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        labels = sorted({r["a"] for r in rows})
+        labels = sorted({a for a, _ in pairs})
         # preserve the caller's id type: numeric ids must keep numeric
         # min semantics end-to-end (a string cast would reorder "9" >
         # "10" and change every downstream min/join)
