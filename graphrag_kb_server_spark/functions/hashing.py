@@ -27,29 +27,48 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE per row and pass it to ``body`` as a
+    lambda variable. Interpreted higher-order functions get no
+    common-subexpression elimination: an outer expression referenced
+    inside a lambda is re-evaluated per ELEMENT (a regex split of the
+    whole document re-run for every shingle position — O(len²)/row).
+    A lambda *variable* is bound once, so wrapping the expensive input
+    in a one-element transform makes every inner reference an array
+    lookup. Bit-identical results — the same expression tree runs on
+    the same value, just once."""
+    return F.transform(F.array(value), body)[0]
+
+
 def char_shingles(col: Column, k: int = 3) -> Column:
     """Distinct character k-grams of a string (ARRAY<STRING>).
 
     Pure expression: sequence + transform + substring, then
     array_distinct. Empty/short strings yield the whole string.
     """
-    n = F.greatest(F.length(col) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k)
-    )
-    return F.array_distinct(grams)
+
+    def _body(s):
+        n = F.greatest(F.length(s) - (k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(s, i, k))
+        )
+
+    return _bind_once(col, _body)
 
 
 def word_shingles(col: Column, k: int = 2) -> Column:
     """Distinct word k-gram shingles (ARRAY<STRING>), whitespace split."""
-    words = F.split(F.trim(col), r"\s+")
-    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+
+    def _body(ws):
+        n = F.greatest(F.size(ws) - (k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
+            )
         )
-    )
+
+    return _bind_once(F.split(F.trim(col), r"\s+"), _body)
 
 
 CHARS_PER_HASH = 4  # 16 bits per hash function; 8 functions per md5
@@ -151,19 +170,35 @@ def simhash64(tokens: Column) -> Column:
             v.bitwiseAND(F.lit(mask)) > 0, 1
         ).otherwise(-1)
 
-    # per-token 16-hex-char hash
-    hashes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, 16))
-    nibble_exprs = []
-    for pos in range(16):  # nibble position in hex string
-        nib = F.transform(hashes, _nib_at(pos))
-        bits = []
-        for bit in range(4):  # bit within nibble, MSB first
-            mask = 1 << (3 - bit)
-            votes = F.aggregate(nib, F.lit(0), _vote(mask))
-            bits.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)))
-        nibble_val = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
-        nibble_exprs.append(F.lower(F.conv(nibble_val.cast("string"), 10, 16)))
-    return F.concat(*nibble_exprs)
+    # Two-level _bind_once: without it the md5-per-token array is an
+    # outer expression referenced by all 64 vote aggregates (16 nibble
+    # positions × 4 bits) and interpreted HOFs re-evaluate it per
+    # reference — 64 md5 passes per row. Binding the hash array once
+    # and each position's nibble array once leaves 1 md5 pass + 16
+    # conv passes + 64 cheap bit-vote folds. Same values.
+    def _body(hs):
+        def _pos_body(pos):
+            def inner(nib):
+                bits = []
+                for bit in range(4):  # bit within nibble, MSB first
+                    mask = 1 << (3 - bit)
+                    votes = F.aggregate(nib, F.lit(0), _vote(mask))
+                    bits.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)))
+                nibble_val = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
+                return F.lower(F.conv(nibble_val.cast("string"), 10, 16))
+
+            return inner
+
+        return F.concat(
+            *[
+                _bind_once(F.transform(hs, _nib_at(pos)), _pos_body(pos))
+                for pos in range(16)  # nibble position in hex string
+            ]
+        )
+
+    return _bind_once(
+        F.transform(tokens, lambda t: F.substring(F.md5(t), 1, 16)), _body
+    )
 
 
 def rolling_fingerprint(col: Column, window: int = 8, keep: int = 4) -> Column:

@@ -193,11 +193,29 @@ def simhash_dedup_pairs(
     so buckets never mix across rotations; oversized blocks are split,
     not dropped (split_oversized_buckets)."""
     tokens = F.split(F.lower(F.trim(F.col(content_col))), r"\s+")
-    sh = df.select(F.col(id_col).alias("id"), H.simhash64(tokens).alias("sim"))
+    # materialized ONCE: the simhash frame feeds the oversize-split
+    # stats, its join-back, and both self-join sides — without the
+    # checkpoint the 64-bit hash is recomputed per consumer
+    sh = df.select(
+        F.col(id_col).alias("id"), H.simhash64(tokens).alias("sim")
+    ).localCheckpoint(eager=True)
     step = max(16 // max(rotations, 1), 1)
+    # hash as two 32-bit halves, decoded ONCE per row: the pair verify
+    # then counts differing nibbles via xor+shift+mask on longs instead
+    # of 32 substring allocations per candidate pair — the skewed
+    # block's single join task is pair-bound, so per-pair cost is what
+    # bounds the straggler. nibble_hamming values are identical.
+    sh = sh.select(
+        "id",
+        "sim",
+        F.conv(F.substring("sim", 1, 8), 16, 10).cast("bigint").alias("_hi"),
+        F.conv(F.substring("sim", 9, 8), 16, 10).cast("bigint").alias("_lo"),
+    )
     rotated = sh.select(
         "id",
         "sim",
+        "_hi",
+        "_lo",
         F.explode(
             F.array(
                 *[
@@ -219,13 +237,13 @@ def simhash_dedup_pairs(
     )
     rotated = split_oversized_buckets(rotated, "block", "id", max_bucket)
     x, y = rotated.alias("x"), rotated.alias("y")
-    # hamming in nibble space via 16 positional comparisons (codegen'd)
+    # nibble hamming: count non-zero nibbles of the xor-ed halves
+    xh = F.col("x._hi").bitwiseXOR(F.col("y._hi"))
+    xl = F.col("x._lo").bitwiseXOR(F.col("y._lo"))
     diff = sum(
-        F.when(
-            F.substring(F.col("x.sim"), i + 1, 1) != F.substring(F.col("y.sim"), i + 1, 1),
-            1,
-        ).otherwise(0)
-        for i in range(16)
+        F.when(F.shiftright(half, 4 * i).bitwiseAND(F.lit(15)) != 0, 1).otherwise(0)
+        for half in (xh, xl)
+        for i in range(8)
     )
     return (
         x.join(y, F.col("x.block") == F.col("y.block"))
@@ -262,7 +280,11 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(H.word_shingles(F.lower(F.col(content_col)), shingle_words)).alias("s"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
+    # the inverted index is materialized once (checkpoint) — it is
+    # read by the size aggregate, the doc-frequency guard, and BOTH
+    # sides of the shingle self-join; at scale this is the analogue of
+    # writing the index table before probing it
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     join_side = sh
     if max_doc_freq is not None:
@@ -342,14 +364,20 @@ def embedding_near_dup_pairs(
         n_planes = min(28, max(4, math.ceil(math.log2(max(n_rows, 1) / target_bucket_rows))))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    vec_d = V.to_double(F.col(vec_col))
+    # staged select: the double-cast vector is materialized as its own
+    # projection so the n_planes sign expressions reference the staged
+    # column instead of re-running the transform-cast per plane
+    # (CollapseProject keeps a non-cheap expr referenced >1x staged)
+    base = df.select(
+        F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
+    )
     bucket = F.concat_ws(
         "",
         *[
             F.when(
                 F.aggregate(
                     F.zip_with(
-                        vec_d,
+                        F.col("v"),
                         F.array(*[F.lit(float(x)) for x in planes[p]]),
                         lambda a, b: a * b,
                     ),
@@ -362,9 +390,15 @@ def embedding_near_dup_pairs(
             for p in range(n_planes)
         ],
     )
-    keyed = df.select(
-        F.col(id_col).alias("id"), vec_d.alias("v"), bucket.alias("bucket")
-    )
+    # per-row norm precomputed ONCE: interpreted HOFs get no
+    # common-subexpression elimination, so V.cosine inside the pair
+    # join would re-aggregate both norms for every candidate pair
+    # (4+ array scans/pair). With norms carried as a scalar column the
+    # pair predicate costs one dot — bit-identical values, the norm is
+    # the same float computation on the same array.
+    keyed = base.select(
+        "id", "v", bucket.alias("bucket"), V.norm(F.col("v")).alias("nrm")
+    ).localCheckpoint(eager=True)  # hyperplane signs computed once, not per consumer
     if probe_hamming > 0:
         # one-deletion keys: exact pattern + each position masked; rows
         # at sign-hamming ≤ 1 share at least one key
@@ -379,13 +413,19 @@ def embedding_near_dup_pairs(
                 for i in range(n_planes)
             ],
         )
-        keyed = keyed.select("id", "v", F.explode(keys).alias("bucket"))
+        keyed = keyed.select(
+            "id", "v", "nrm", F.explode(keys).alias("bucket")
+        )
     keyed = split_oversized_buckets(keyed, "bucket", "id", max_bucket)
     x, y = keyed.alias("x"), keyed.alias("y")
+    denom = F.col("x.nrm") * F.col("y.nrm")
+    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        V.dot(F.col("x.v"), F.col("y.v")) / denom
+    )
     return (
         x.join(y, F.col("x.bucket") == F.col("y.bucket"))
         .where(F.col("x.id") < F.col("y.id"))
-        .withColumn("cosine", V.cosine(F.col("x.v"), F.col("y.v")))
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"), "cosine")
         .distinct()
