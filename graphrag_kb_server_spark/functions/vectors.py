@@ -40,5 +40,10 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def l2_normalize(a: Column) -> Column:
-    n = norm(a)
-    return F.when(n == 0.0, a).otherwise(F.transform(a, lambda x: x / n))
+    # the norm is bound ONCE as a lambda variable: referenced directly
+    # inside the transform it would be re-aggregated per element
+    # (interpreted HOFs get no subexpression elimination → O(d²)/row)
+    return F.transform(
+        F.array(norm(a)),
+        lambda n: F.when(n == 0.0, a).otherwise(F.transform(a, lambda x: x / n)),
+    )[0]

@@ -75,17 +75,24 @@ def c4_line_filter(
             & ~line.contains("}")
         )
 
-    kept = F.filter(lines, _keep)
+    # staged columns: the split and the filtered-lines array are each
+    # referenced 3× downstream; as inline expressions the interpreted
+    # filter+split would re-run per reference (CollapseProject keeps a
+    # non-cheap expr referenced >1x in its own projection)
+    kept = F.filter(F.col("_lines"), _keep)
     doc_ok = (
-        (F.size(kept) >= min_kept_lines)
+        (F.size(F.col("_kept")) >= min_kept_lines)
         & ~F.lower(t).contains("lorem ipsum")
         & ~t.contains("{")
     )
     return (
-        df.withColumn("c4_text", F.array_join(kept, "\n"))
-        .withColumn("n_lines", F.size(lines))
-        .withColumn("n_lines_kept", F.size(kept))
+        df.withColumn("_lines", lines)
+        .withColumn("_kept", kept)
+        .withColumn("c4_text", F.array_join(F.col("_kept"), "\n"))
+        .withColumn("n_lines", F.size(F.col("_lines")))
+        .withColumn("n_lines_kept", F.size(F.col("_kept")))
         .withColumn("c4_keep", doc_ok)
+        .drop("_lines", "_kept")
     )
 
 
@@ -324,16 +331,25 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     (the tokenizer both sides of a decontamination join must share).
     Texts with fewer than ``n`` tokens yield an empty array. Pure HOF
     expression — row-local, codegen'd."""
-    toks = F.filter(
-        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""
+    from ..functions.hashing import _bind_once
+
+    # _bind_once: `toks` is referenced inside the position lambda —
+    # as an outer expression the split+filter would re-run for every
+    # n-gram position (O(words²) per doc); bound as a lambda variable
+    # it is computed once per row
+    def _body(toks):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _bind_once(
+        F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""),
+        _body,
     )
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_decontaminate(
