@@ -39,6 +39,37 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the norms supplied as precomputed columns —
+    per-row/per-pair cost drops to ONE dot aggregate (interpreted HOFs
+    re-evaluate the norm aggregates per reference otherwise).
+    Bit-identical to ``cosine`` when ``na``/``nb`` were produced by
+    ``norm`` on the same arrays (same fold, same multiply order)."""
+    denom = na * nb
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def cosine_with_query(a: Column, query_vec) -> Column:
+    """Cosine of ``a`` vs a CONSTANT query vector: the query norm is
+    folded at plan-build time with the same left-to-right float64
+    accumulation as ``norm``'s F.aggregate — bit-identical values —
+    and the whole denominator is bound once as a lambda variable, so
+    each row pays one norm + one dot instead of five aggregates
+    (cosine's when-condition and branch each re-evaluate both norms
+    under interpreted-HOF evaluation)."""
+    import math
+
+    qn = 0.0
+    for x in query_vec:
+        qn += float(x) * float(x)
+    qn = math.sqrt(qn)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return F.transform(
+        F.array(norm(a) * F.lit(qn)),
+        lambda d: F.when(d == 0.0, F.lit(0.0)).otherwise(dot(a, q) / d),
+    )[0]
+
+
 def l2_normalize(a: Column) -> Column:
     # the norm is bound ONCE as a lambda variable: referenced directly
     # inside the transform it would be re-aggregated per element

@@ -32,10 +32,9 @@ def brute_force_topk(
     id_col: str,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         table.withColumn(
-            "score", V.cosine(V.to_double(F.col(vec_col)), V.to_double(q))
+            "score", V.cosine_with_query(V.to_double(F.col(vec_col)), query_vec)
         )
         .select(id_col, "score")
         .orderBy(F.desc("score"), id_col)
@@ -55,12 +54,22 @@ def brute_force_topk_batch(
     """Exact top-k for EVERY query row: broadcast(queries) × table →
     per-query row_number ≤ k. Right plan when |queries| is small; the
     broadcast keeps the big table un-shuffled."""
+    # norms precomputed per side: the scoring join then pays one dot
+    # aggregate per (row, query) instead of five (see cosine_with_norms)
     q = queries.select(
         F.col(query_id_col).alias("qid"), V.to_double(F.col(query_vec_col)).alias("qv")
+    ).withColumn("qn", V.norm(F.col("qv")))
+    scored = (
+        table.select(
+            F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("vn", V.norm(F.col("v")))
+        .join(F.broadcast(q))
+        .withColumn(
+            "score",
+            V.cosine_with_norms(F.col("v"), F.col("qv"), F.col("vn"), F.col("qn")),
+        )
     )
-    scored = table.select(
-        F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
-    ).join(F.broadcast(q)).withColumn("score", V.cosine(F.col("v"), F.col("qv")))
     w = Window.partitionBy("qid").orderBy(F.desc("score"), "id")
     return (
         scored.withColumn("_rk", F.row_number().over(w))
@@ -138,12 +147,21 @@ def ivf_topk_batch(
     if n_planes is None:
         n_planes = auto_n_planes(table.count(), target_cell_rows)
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
-    t = table.select(
-        F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
-    ).withColumn("cell", _cell_expr(F.col("v"), planes))
-    q = queries.select(
-        F.col(query_id_col).alias("qid"), V.to_double(F.col(query_vec_col)).alias("qv")
-    ).withColumn("cell", _cell_expr(F.col("qv"), planes))
+    t = (
+        table.select(
+            F.col(id_col).alias("id"), V.to_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("cell", _cell_expr(F.col("v"), planes))
+        .withColumn("vn", V.norm(F.col("v")))
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            V.to_double(F.col(query_vec_col)).alias("qv"),
+        )
+        .withColumn("cell", _cell_expr(F.col("qv"), planes))
+        .withColumn("qn", V.norm(F.col("qv")))
+    )
     if probe_bits > 0:
         flipped = [
             F.concat(
@@ -157,7 +175,8 @@ def ivf_topk_batch(
         ]
         q = q.withColumn("cell", F.explode(F.array(F.col("cell"), *flipped)))
     scored = t.join(F.broadcast(q), "cell").withColumn(
-        "score", V.cosine(F.col("v"), F.col("qv"))
+        "score",
+        V.cosine_with_norms(F.col("v"), F.col("qv"), F.col("vn"), F.col("qn")),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), "id")
     return (

@@ -40,9 +40,8 @@ def cosine_topk(
 ) -> DataFrame:
     """Top-k rows by cosine(query, vec_col). ``exclude_key=(col, value)``
     drops the query row itself (the reference's k+1-then-drop-self)."""
-    q = query_vector_lit(query_vec)
     out = table.withColumn(
-        score_alias, V.cosine(V.to_double(F.col(vec_col)), V.to_double(q))
+        score_alias, V.cosine_with_query(V.to_double(F.col(vec_col)), query_vec)
     )
     if exclude_key is not None:
         col, val = exclude_key
