@@ -42,9 +42,8 @@ def vector_similarity_chunk_pick(
     n_entities / 2`` by cosine to the query embedding."""
     num = max(int(related_chunk_number * n_entities / 2), 1)
     qvec = embed_text(query_text)
-    q = F.array(*[F.lit(float(x)) for x in qvec])
     scored = candidate_chunk_ids.join(chunk_embeddings, "chunk_id").withColumn(
-        "vscore", V.cosine(V.to_double(F.col("embedding")), V.to_double(q))
+        "vscore", V.cosine_with_query(V.to_double(F.col("embedding")), qvec)
     )
     return (
         scored.orderBy(F.desc("vscore"), "chunk_id")

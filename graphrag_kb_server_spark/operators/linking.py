@@ -119,16 +119,31 @@ def score_pairs(
     threshold: float = DEFAULT_THRESHOLD,
 ) -> DataFrame:
     """Attach embedding-cosine scores; keep pairs ≥ threshold."""
+    # per-name norm computed once on the (vocabulary-sized) embedding
+    # frame; the pair scorer then pays one dot per pair (cosine would
+    # re-aggregate both norms per pair under interpreted HOFs)
     emb = names.select(
         F.col(name_col).alias("name"), V.to_double(embed_udf(F.col(name_col))).alias("vec")
+    ).withColumn("nrm", V.norm(F.col("vec")))
+    ea = (
+        emb.withColumnRenamed("name", "name_a")
+        .withColumnRenamed("vec", "vec_a")
+        .withColumnRenamed("nrm", "nrm_a")
+    )
+    eb = (
+        emb.withColumnRenamed("name", "name_b")
+        .withColumnRenamed("vec", "vec_b")
+        .withColumnRenamed("nrm", "nrm_b")
     )
     scored = (
-        pairs.join(emb.withColumnRenamed("name", "name_a").withColumnRenamed("vec", "vec_a"), "name_a")
-        .join(emb.withColumnRenamed("name", "name_b").withColumnRenamed("vec", "vec_b"), "name_b")
+        pairs.join(ea, "name_a")
+        .join(eb, "name_b")
         .select(
             "name_a",
             "name_b",
-            V.cosine(F.col("vec_a"), F.col("vec_b")).alias("score"),
+            V.cosine_with_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("nrm_a"), F.col("nrm_b")
+            ).alias("score"),
         )
     )
     return scored.where(F.col("score") >= threshold)
