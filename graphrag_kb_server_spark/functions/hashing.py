@@ -27,7 +27,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _bind_once(value: Column, body) -> Column:
+def bind_once(value: Column, body) -> Column:
     """Evaluate ``value`` ONCE per row and pass it to ``body`` as a
     lambda variable. Interpreted higher-order functions get no
     common-subexpression elimination: an outer expression referenced
@@ -36,8 +36,13 @@ def _bind_once(value: Column, body) -> Column:
     A lambda *variable* is bound once, so wrapping the expensive input
     in a one-element transform makes every inner reference an array
     lookup. Bit-identical results — the same expression tree runs on
-    the same value, just once."""
+    the same value, just once. Public: core expression infrastructure,
+    also used by operators.curation's decontamination tokenizer."""
     return F.transform(F.array(value), body)[0]
+
+
+# backwards-compatible private alias (pre-r5 call sites)
+_bind_once = bind_once
 
 
 def char_shingles(col: Column, k: int = 3) -> Column:
@@ -53,7 +58,7 @@ def char_shingles(col: Column, k: int = 3) -> Column:
             F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(s, i, k))
         )
 
-    return _bind_once(col, _body)
+    return bind_once(col, _body)
 
 
 def word_shingles(col: Column, k: int = 2) -> Column:
@@ -68,7 +73,7 @@ def word_shingles(col: Column, k: int = 2) -> Column:
             )
         )
 
-    return _bind_once(F.split(F.trim(col), r"\s+"), _body)
+    return bind_once(F.split(F.trim(col), r"\s+"), _body)
 
 
 CHARS_PER_HASH = 4  # 16 bits per hash function; 8 functions per md5
@@ -170,33 +175,30 @@ def simhash64(tokens: Column) -> Column:
             v.bitwiseAND(F.lit(mask)) > 0, 1
         ).otherwise(-1)
 
-    # Two-level _bind_once: without it the md5-per-token array is an
+    # Two-level bind_once: without it the md5-per-token array is an
     # outer expression referenced by all 64 vote aggregates (16 nibble
     # positions × 4 bits) and interpreted HOFs re-evaluate it per
     # reference — 64 md5 passes per row. Binding the hash array once
     # and each position's nibble array once leaves 1 md5 pass + 16
     # conv passes + 64 cheap bit-vote folds. Same values.
     def _body(hs):
-        def _pos_body(pos):
-            def inner(nib):
-                bits = []
-                for bit in range(4):  # bit within nibble, MSB first
-                    mask = 1 << (3 - bit)
-                    votes = F.aggregate(nib, F.lit(0), _vote(mask))
-                    bits.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)))
-                nibble_val = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
-                return F.lower(F.conv(nibble_val.cast("string"), 10, 16))
-
-            return inner
+        def _nibble_vote(nib):
+            bits = []
+            for bit in range(4):  # bit within nibble, MSB first
+                mask = 1 << (3 - bit)
+                votes = F.aggregate(nib, F.lit(0), _vote(mask))
+                bits.append(F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)))
+            nibble_val = bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]
+            return F.lower(F.conv(nibble_val.cast("string"), 10, 16))
 
         return F.concat(
             *[
-                _bind_once(F.transform(hs, _nib_at(pos)), _pos_body(pos))
+                bind_once(F.transform(hs, _nib_at(pos)), _nibble_vote)
                 for pos in range(16)  # nibble position in hex string
             ]
         )
 
-    return _bind_once(
+    return bind_once(
         F.transform(tokens, lambda t: F.substring(F.md5(t), 1, 16)), _body
     )
 

@@ -331,9 +331,9 @@ def word_ngrams(text_col: Column, n: int) -> Column:
     (the tokenizer both sides of a decontamination join must share).
     Texts with fewer than ``n`` tokens yield an empty array. Pure HOF
     expression — row-local, codegen'd."""
-    from ..functions.hashing import _bind_once
+    from ..functions.hashing import bind_once
 
-    # _bind_once: `toks` is referenced inside the position lambda —
+    # bind_once: `toks` is referenced inside the position lambda —
     # as an outer expression the split+filter would re-run for every
     # n-gram position (O(words²) per doc); bound as a lambda variable
     # it is computed once per row
@@ -346,7 +346,7 @@ def word_ngrams(text_col: Column, n: int) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    return _bind_once(
+    return bind_once(
         F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""),
         _body,
     )

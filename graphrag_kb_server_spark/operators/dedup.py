@@ -1,8 +1,14 @@
 """Deduplication family for large-scale training-data pipelines.
 
 Five dedup strategies over a documents table, each returning either a
-keep/drop assignment or duplicate-pair candidates. All are pure
-DataFrame programs; the only Python is the (optional) embedding UDF.
+keep/drop assignment or duplicate-pair candidates. All are DataFrame
+programs (the only Python is the optional embedding UDF); the pair
+builders persist their blocking index via LAZY local checkpoints —
+constructing the frame runs no job, the first action materializes the
+index once for all of its consumers. At cluster scale the same role is
+played by writing the index table (parquet/Iceberg) before probing it,
+which also survives executor loss; localCheckpoint trades that
+durability for zero extra IO in a single-job run.
 
 - exact_dedup            — hash groupBy on content (or normalized content)
 - minhash_lsh_dedup      — shingle → minhash → band → bucket self-join
@@ -193,27 +199,32 @@ def simhash_dedup_pairs(
     so buckets never mix across rotations; oversized blocks are split,
     not dropped (split_oversized_buckets)."""
     tokens = F.split(F.lower(F.trim(F.col(content_col))), r"\s+")
-    # materialized ONCE: the simhash frame feeds the oversize-split
-    # stats, its join-back, and both self-join sides — without the
-    # checkpoint the 64-bit hash is recomputed per consumer
-    sh = df.select(
-        F.col(id_col).alias("id"), H.simhash64(tokens).alias("sim")
-    ).localCheckpoint(eager=True)
     step = max(16 // max(rotations, 1), 1)
-    # hash as two 32-bit halves, decoded ONCE per row: the pair verify
-    # then counts differing nibbles via xor+shift+mask on longs instead
-    # of 32 substring allocations per candidate pair — the skewed
-    # block's single join task is pair-bound, so per-pair cost is what
-    # bounds the straggler. nibble_hamming values are identical.
-    sh = sh.select(
+    # computed ONCE per row, shared by every consumer: the simhash
+    # frame feeds the oversize-split stats, its join-back, and both
+    # self-join sides. The checkpoint is LAZY — building this frame
+    # runs no job; the first action materializes it (lineage truncated,
+    # partitions persisted) so the 64-bit hash is not recomputed per
+    # consumer. The two 32-bit halves are decoded here, inside the
+    # checkpointed select: the pair verify then counts differing
+    # nibbles via xor+shift+mask on longs instead of 32 substring
+    # allocations per candidate pair — the skewed block's single join
+    # task is pair-bound, so per-pair cost is what bounds the
+    # straggler. nibble_hamming values are identical.
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        H.simhash64(tokens).alias("sim"),
+    ).select(
         "id",
         "sim",
         F.conv(F.substring("sim", 1, 8), 16, 10).cast("bigint").alias("_hi"),
         F.conv(F.substring("sim", 9, 8), 16, 10).cast("bigint").alias("_lo"),
-    )
+    ).localCheckpoint(eager=False)
+    # `sim` stays behind in the checkpoint: it is consumed here to
+    # build the rotation block keys and would otherwise ride the
+    # 4×-exploded rows and both shuffled self-join sides as dead payload
     rotated = sh.select(
         "id",
-        "sim",
         "_hi",
         "_lo",
         F.explode(
@@ -280,11 +291,12 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(H.word_shingles(F.lower(F.col(content_col)), shingle_words)).alias("s"),
-    ).distinct().localCheckpoint(eager=True)
-    # the inverted index is materialized once (checkpoint) — it is
-    # read by the size aggregate, the doc-frequency guard, and BOTH
-    # sides of the shingle self-join; at scale this is the analogue of
-    # writing the index table before probing it
+    ).distinct().localCheckpoint(eager=False)
+    # the inverted index is computed once (LAZY checkpoint: no job at
+    # build time; the first action persists it) — it is read by the
+    # size aggregate, the doc-frequency guard, and BOTH sides of the
+    # shingle self-join; at scale this is the analogue of writing the
+    # index table before probing it
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     join_side = sh
     if max_doc_freq is not None:
@@ -398,7 +410,7 @@ def embedding_near_dup_pairs(
     # the same float computation on the same array.
     keyed = base.select(
         "id", "v", bucket.alias("bucket"), V.norm(F.col("v")).alias("nrm")
-    ).localCheckpoint(eager=True)  # hyperplane signs computed once, not per consumer
+    ).localCheckpoint(eager=False)  # signs/norm computed once, not per consumer (lazy: no job until first action)
     if probe_hamming > 0:
         # one-deletion keys: exact pattern + each position masked; rows
         # at sign-hamming ≤ 1 share at least one key
@@ -418,9 +430,8 @@ def embedding_near_dup_pairs(
         )
     keyed = split_oversized_buckets(keyed, "bucket", "id", max_bucket)
     x, y = keyed.alias("x"), keyed.alias("y")
-    denom = F.col("x.nrm") * F.col("y.nrm")
-    cos = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        V.dot(F.col("x.v"), F.col("y.v")) / denom
+    cos = V.cosine_with_norms(
+        F.col("x.v"), F.col("y.v"), F.col("x.nrm"), F.col("y.nrm")
     )
     return (
         x.join(y, F.col("x.bucket") == F.col("y.bucket"))

@@ -26,10 +26,6 @@ from ..functions import vectors as V
 from ..functions.embedding import embed_text
 
 
-def query_vector_lit(query_vec: np.ndarray | list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in query_vec])
-
-
 def cosine_topk(
     table: DataFrame,
     query_vec: np.ndarray | list[float],
