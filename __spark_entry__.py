@@ -3073,13 +3073,16 @@ LEFT JOIN txt t ON t.level = p.level AND t.cluster = p.cluster
 
     # deterministic hash-threshold sampling: the SAME md5-slice
     # uniform both engines compute (sampling._unit_hash)
+    # op-salted effective seed mirrors sampling._op_seed: the hashed
+    # string is id <US> op <US> seed, so the two ops' draws are
+    # independent even under a shared seed
     _u = (
         "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || chr(31) "
-        "|| '{seed}'), 1, 8)) AS BIGINT) / 4294967296.0"
+        "|| '{op}' || chr(31) || '{seed}'), 1, 8)) AS BIGINT) / 4294967296.0"
     )
     o["sample_stratified"] = f"""
 WITH r AS (
-  SELECT doc_id, lang, {_u.format(seed='7')} AS u FROM documents
+  SELECT doc_id, lang, {_u.format(op='sample', seed='7')} AS u FROM documents
 )
 SELECT doc_id, lang FROM r
 WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
@@ -3088,7 +3091,7 @@ WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
     o["sample_split_counts"] = f"""
 WITH r AS (
   SELECT lang,
-    CASE WHEN {_u.format(seed='13')} < 0.1 THEN 'val' ELSE 'train' END
+    CASE WHEN {_u.format(op='split', seed='13')} < 0.1 THEN 'val' ELSE 'train' END
       AS split
   FROM documents
 )

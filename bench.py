@@ -132,7 +132,6 @@ def idle_gate(max_load: float, timeout_s: float = 300.0) -> dict:
     — but one that SAYS it was measured on a loaded box.
     """
     t0 = time.time()
-    waited = 0.0
     while True:
         load = _loadavg1()
         jvms = _foreign_spark_jvms()
@@ -156,7 +155,6 @@ def idle_gate(max_load: float, timeout_s: float = 300.0) -> dict:
                 "start_loadavg1": load,
                 "violated": True,
             }
-        waited += 5.0
         time.sleep(5.0)
 
 

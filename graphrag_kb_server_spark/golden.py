@@ -77,7 +77,9 @@ def golden_pack_sequences(
     for url, t in items:
         b = (
             int(
-                hashlib.md5(f"{url}\x1f{pack_seed}".encode("utf-8")).hexdigest()[:8],
+                hashlib.md5(
+                    f"{url}\x1fpack\x1f{pack_seed}".encode("utf-8")
+                ).hexdigest()[:8],
                 16,
             )
             % n_buckets

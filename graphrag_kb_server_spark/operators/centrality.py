@@ -38,7 +38,17 @@ def degree_centrality(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     if nodes is not None:
-        all_nodes = nodes.select(F.col(node_col).alias("name")).distinct()
+        # lazy checkpoints: the coverage check below is an extra driver
+        # action, and without them its take(3) would replay the full
+        # edges scan + aggregation that the returned frame then pays
+        # again — checkpointed, the check's action materializes deg and
+        # all_nodes ONCE and the count + final join reuse them
+        deg = deg.localCheckpoint(eager=False)
+        all_nodes = (
+            nodes.select(F.col(node_col).alias("name"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         # inconsistent inputs (edge endpoints missing from the nodes
         # frame) must ERROR, not silently drop rows and skew the
         # denominator; the anti-join probes the already-aggregated

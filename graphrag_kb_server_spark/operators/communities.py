@@ -702,7 +702,14 @@ def modularity_refine(
     between paths — both results remain valid local optima.
     """
     w = F.col(weight) if weight else F.lit(1.0)
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    # e is re-joined against the labels on EVERY merge pass (up to
+    # outer_rounds*max_merge_passes times) — checkpoint it once so the
+    # caller's upstream edges plan (a whole KG build, in the bench's
+    # case) is never replayed inside the loop. Lazy: sym's eager
+    # checkpoint below materializes it in the same first job.
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+    ).localCheckpoint(eager=False)
     sym = (
         e.unionByName(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")

@@ -308,6 +308,12 @@ class LlmCache:
         return row["content"] if row else None
 
     def put(self, args_hash: str, content: str) -> None:
+        # heal a crashed compact() BEFORE appending: writing first
+        # would recreate the live path as a fresh one-row cache, after
+        # which _recover() never restores the stranded __old/__compact
+        # dir and the next compact() rmtree's it — silently dropping
+        # every previously cached answer
+        self._recover()
         self.spark.createDataFrame(
             [(args_hash, content)], "args_hash string, content string"
         ).withColumn("written_at", F.current_timestamp()).write.mode(

@@ -40,6 +40,15 @@ from pyspark.sql import functions as F
 _TERMINAL_RE = r'[.!?"]\s*$'
 
 
+def _regex_literal(sep: str) -> str:
+    """Quote a caller-supplied separator for ``F.split`` (which takes a
+    Java REGEX): \\Q...\\E literal quoting, with any embedded \\E
+    re-opened — java.util.regex.Pattern.quote semantics. Without this a
+    sep like ``"|"`` is an empty-alternation regex that splits between
+    every character while ``array_join`` re-inserts it literally."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def c4_line_filter(
     df: DataFrame,
     text_col: str,
@@ -56,7 +65,8 @@ def c4_line_filter(
     Document level (``c4_keep``):
       - at least ``min_kept_lines`` lines survived,
       - the document does not contain ``lorem ipsum``
-        (case-insensitive) or a curly brace.
+        (case-insensitive) or an opening curly brace ``{`` (the
+        C4 code-page heuristic keys on ``{``; line level drops both).
 
     Adds ``c4_text`` (kept lines re-joined), ``n_lines``,
     ``n_lines_kept``, ``c4_keep``. Pure HOF/regexp — row-local,
@@ -126,7 +136,7 @@ def gopher_repetition(
     """
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), sep)).alias("u"),
+        F.explode(F.split(F.col(text_col), _regex_literal(sep))).alias("u"),
     )
     per_unit = ex.groupBy("id", "u").agg(F.count(F.lit(1)).alias("cnt"))
     extra = F.col("cnt") - 1
@@ -241,8 +251,16 @@ def url_keep(url_col: Column, blocked_domains: frozenset[str] | None = None) -> 
     extension is not a known binary/media type. Row-local predicate —
     pushes down to the scan."""
     scheme_ok = url_col.rlike(r"^https?://")
+    # extension taken from the PATH component only: anchored past the
+    # host (so a path-less "https://update.zip" is not dropped for its
+    # .zip TLD) and terminated at ?/# (so "?file=x.mp4" in a query
+    # string is not treated as the page's own extension)
     ext = F.lower(
-        F.regexp_extract(url_col, r"\.([A-Za-z0-9]{1,6})(?:\?|$)", 1)
+        F.regexp_extract(
+            url_col,
+            r"^https?://[^/?#]+/[^?#]*\.([A-Za-z0-9]{1,6})(?:[?#]|$)",
+            1,
+        )
     )
     ext_ok = ~ext.isin(*_NON_TEXT_EXT)
     host = F.regexp_extract(url_col, r"^https?://([^/:?#]+)", 1)
@@ -286,7 +304,9 @@ def paragraph_dedup(
     """
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.col(text_col), _regex_literal(sep))
+        ).alias("pos", "para"),
     ).withColumn("h", F.md5("para"))
     winners = paras.groupBy("h").agg(
         F.min(F.struct("id", "pos")).alias("w")

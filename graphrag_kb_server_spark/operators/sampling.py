@@ -50,6 +50,19 @@ def _unit_hash(id_col, seed: str) -> F.Column:
     return _int_hash(id_col, seed) / F.lit(_HASH_SPACE)
 
 
+def _op_seed(salt: str, seed: str) -> str:
+    """Op-salted effective seed. Each sampling op hashes
+    (id <US> "<op><US><seed>") rather than the bare (id <US> seed):
+    without the salt, stratified_sample(rate=r) piped into
+    train_val_split(val_fraction=f) with the SAME seed computes the
+    SAME uniform u per row, so every survivor of the first draw
+    (u < r) with f >= r is assigned 'val' — fully correlated draws
+    and an empty train split. The salt makes the ops' draws
+    independent while staying deterministic and engine-portable
+    (the DuckDB mirror concatenates the same salted seed)."""
+    return f"{salt}{_US}{seed}"
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
@@ -73,7 +86,7 @@ def stratified_sample(
     return (
         df.join(F.broadcast(spec), stratum_col, "left")
         .withColumn("_rate", F.coalesce("_rate", F.lit(float(default_rate))))
-        .where(_unit_hash(F.col(id_col), seed) < F.col("_rate"))
+        .where(_unit_hash(F.col(id_col), _op_seed("sample", seed)) < F.col("_rate"))
         .drop("_rate")
     )
 
@@ -94,7 +107,8 @@ def train_val_split(
     return df.withColumn(
         split_col,
         F.when(
-            _unit_hash(F.col(id_col), seed) < F.lit(float(val_fraction)),
+            _unit_hash(F.col(id_col), _op_seed("split", seed))
+            < F.lit(float(val_fraction)),
             F.lit("val"),
         ).otherwise(F.lit("train")),
     )
@@ -139,7 +153,7 @@ def pack_sequences(
     src = docs.select(
         F.col(id_col).cast("string").alias("id"),
         F.col(tokens_col).cast("long").alias("tokens"),
-        (F.pmod(_int_hash(F.col(id_col), seed), F.lit(n_buckets)))
+        (F.pmod(_int_hash(F.col(id_col), _op_seed("pack", seed)), F.lit(n_buckets)))
         .cast("int")
         .alias("bucket"),
     )

@@ -148,6 +148,37 @@ def test_paragraph_dedup_first_wins(spark):
     assert rows[3].n_paras_kept == 0
 
 
+def test_paragraph_dedup_metachar_sep_is_literal(spark):
+    """A sep containing regex metacharacters must split literally —
+    F.split takes a Java regex, so an unquoted '|' would split between
+    every character while the rejoin re-inserts it literally."""
+    df = spark.createDataFrame(
+        [(1, "alpha|SHARED|omega"), (2, "beta|SHARED")],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in paragraph_dedup(df, "id", "text", sep="|").collect()}
+    assert rows[1].text == "alpha|SHARED|omega" and rows[1].n_paras == 3
+    assert rows[2].text == "beta" and rows[2].n_paras_kept == 1
+
+
+def test_url_keep_path_only_extension(spark):
+    """The binary-extension rule reads the PATH component only: a
+    path-less .zip-TLD host and a query-string '.mp4' are kept."""
+    from graphrag_kb_server_spark.operators.curation import url_keep
+
+    df = spark.createDataFrame(
+        [
+            ("https://update.zip", True),
+            ("https://ex.com/download?file=x.mp4", True),
+            ("https://ex.com/v.mp4?sig=1", False),
+            ("https://ex.com/a/b/clip.MP4#t=5", False),
+        ],
+        "url string, expected boolean",
+    )
+    got = df.withColumn("keep", url_keep(F.col("url")))
+    assert got.where(F.col("keep") != F.col("expected")).count() == 0
+
+
 def test_paragraph_dedup_position_order_preserved(spark):
     df = spark.createDataFrame(
         [(1, "b\n\na\n\nc"), (2, "z\n\na")],

@@ -59,6 +59,23 @@ def test_sample_is_shuffle_free(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_sampling_ops_draw_independently(spark):
+    """Composing sample → split under the SAME seed must not correlate:
+    without per-op hash salts, every survivor of a rate-r sample with
+    val_fraction f >= r would land in 'val' (empty train split)."""
+    docs = _docs(spark)
+    kept = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1}, seed="42", default_rate=0.0
+    )
+    out = train_val_split(kept, "doc_id", val_fraction=0.1, seed="42")
+    per = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(per.values())
+    assert total > 50  # the sample itself kept ~0.1 * 1000 'en' docs
+    # train must dominate: val stays near 10% of the sample, not 100%
+    assert per.get("train", 0) / total > 0.8
+
+
 def test_train_val_split_stable_and_disjoint(spark):
     docs = _docs(spark)
     out = train_val_split(docs, "doc_id", val_fraction=0.25, seed="5")
