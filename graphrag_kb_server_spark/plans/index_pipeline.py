@@ -191,6 +191,33 @@ def run_index(
         _write_observed(name, build(), partition_by)
         return _read_table(spark, path)
 
+    def stages_concurrent(specs) -> list[DataFrame]:
+        """Write INDEPENDENT stages as concurrent driver actions.
+
+        Each spec is (name, build, partition_by). The stages share no
+        inputs-to-be-computed (their upstreams are already-written
+        tables, or lazily-checkpointed frames shared by construction),
+        so submitting their write actions from a small thread pool
+        overlaps their scheduling and IO — on a cluster this is the
+        standard multi-branch-DAG pattern (independent jobs fill
+        executor slots the tail of a lone job leaves idle; pair with
+        spark.scheduler.mode=FAIR for slot sharing). Resume and
+        metrics semantics are per-stage, identical to sequential
+        execution; list.append is atomic so the metrics sidecar is
+        merely order-jittered, and it is canonically re-sorted before
+        the final dump.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(specs) == 1:
+            name, build, pb = specs[0]
+            return [stage(name, build, pb)]
+        with ThreadPoolExecutor(max_workers=len(specs)) as ex:
+            futs = [
+                ex.submit(stage, name, build, pb) for name, build, pb in specs
+            ]
+            return [f.result() for f in futs]
+
     def stage_pair(
         name_a: str, name_b: str, build
     ) -> tuple[DataFrame, DataFrame]:
@@ -234,8 +261,10 @@ def run_index(
     mentions = stage("mentions", lambda: extract_mentions(ensure_parallelism(chunks)))
 
     # ── T4/T5 salted two-phase merges ────────────────────────────────
-    nodes_raw = stage("nodes_raw", lambda: build_nodes(mentions))
-    edges_raw = stage("edges_raw", lambda: build_edges(mentions))
+    nodes_raw, edges_raw = stages_concurrent([
+        ("nodes_raw", lambda: build_nodes(mentions), None),
+        ("edges_raw", lambda: build_edges(mentions), None),
+    ])
 
     # ── entity linking + canonicalization (LSH → cosine → components) ─
     if link_entities:
@@ -268,24 +297,21 @@ def run_index(
 
     # ── T6 embeddings (LLM slot, pandas UDF; content formats mirror
     #     vdb_* observed shapes: entity = name\ndescription) ──────────
-    chunk_embeddings = stage(
-        "chunk_embeddings",
-        lambda: chunks.select(
+    def build_chunk_embeddings() -> DataFrame:
+        return chunks.select(
             "chunk_id", embed_udf(F.col("content")).alias("embedding")
-        ).dropDuplicates(["chunk_id"]),
-    )
-    entity_embeddings = stage(
-        "entity_embeddings",
-        lambda: nodes.select(
+        ).dropDuplicates(["chunk_id"])
+
+    def build_entity_embeddings() -> DataFrame:
+        return nodes.select(
             "name",
             embed_udf(
                 F.concat_ws("\n", F.col("name"), F.col("description"))
             ).alias("embedding"),
-        ),
-    )
-    relation_embeddings = stage(
-        "relation_embeddings",
-        lambda: edges.select(
+        )
+
+    def build_relation_embeddings() -> DataFrame:
+        return edges.select(
             "src",
             "tgt",
             embed_udf(
@@ -296,8 +322,7 @@ def run_index(
                     F.col("description"),
                 )
             ).alias("embedding"),
-        ),
-    )
+        )
 
     # ── T8 doc_status lineage ────────────────────────────────────────
     def build_doc_status() -> DataFrame:
@@ -321,8 +346,22 @@ def run_index(
             )
         )
 
-    doc_status = stage("doc_status", build_doc_status)
+    (chunk_embeddings, entity_embeddings, relation_embeddings,
+     doc_status) = stages_concurrent([
+        ("chunk_embeddings", build_chunk_embeddings, None),
+        ("entity_embeddings", build_entity_embeddings, None),
+        ("relation_embeddings", build_relation_embeddings, None),
+        ("doc_status", build_doc_status, None),
+    ])
 
+    # canonical sidecar order regardless of concurrent completion order
+    order = {n: i for i, n in enumerate([
+        "documents", "chunks", "mentions", "nodes_raw", "edges_raw",
+        "canonical_map:lsh_buckets", "canonical_map", "nodes_pre",
+        "edges_pre", "nodes", "edges", "chunk_embeddings",
+        "entity_embeddings", "relation_embeddings", "doc_status",
+    ])}
+    res.metrics.sort(key=lambda m: order.get(m.get("stage"), 99))
     with open(f"{out_dir}/metrics.json", "w") as f:
         json.dump(res.metrics, f, indent=1)
     _ = (nodes, edges, chunk_embeddings, entity_embeddings, relation_embeddings, doc_status)
