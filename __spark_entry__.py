@@ -1389,6 +1389,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_sequences(toks, "url", "n_tokens", budget=512, n_buckets=8)
     q["sample_pack_sequences"] = sample_pack_sequences
 
+    def _tok_docs(spark):
+        pages = corpus_mod.generate(spark, 120)
+        return pages.select(
+            "url",
+            TXT.extract_text(F.col("text"), F.col("url")).alias("content"),
+        )
+
+    def tok_bpe_merges(spark, sf):
+        """BPE tokenizer induction (operators/tokenize.py): distributed
+        word-frequency pass + deterministic driver-side merge loop over
+        the collected frequency table (the SentencePiece/HF trainer
+        architecture). Oracle: golden_bpe's independent Counter-based
+        sequential re-derivation, pinned as VALUES."""
+        from graphrag_kb_server_spark.operators.tokenize import bpe_merges
+
+        return bpe_merges(_tok_docs(spark), "content", num_merges=40).select(
+            # rank/left/right are SQL reserved words — alias for the oracle
+            F.col("rank").alias("merge_rank"),
+            F.col("left").alias("lhs"),
+            F.col("right").alias("rhs"),
+            "merged",
+            "freq",
+        )
+    q["tok_bpe_merges"] = tok_bpe_merges
+
+    def tok_bpe_encode(spark, sf):
+        """Distributed BPE encoding with the distinct-word trick: each
+        distinct word is encoded ONCE by an Arrow-batched pandas UDF,
+        joined back, and documents reassembled in word order. tokens
+        are md5-digested on both sides (raw strings round-trip the
+        VALUES oracle poorly at this width)."""
+        from graphrag_kb_server_spark.operators.tokenize import (
+            bpe_encode,
+            bpe_merges,
+        )
+
+        docs = _tok_docs(spark)
+        m = bpe_merges(docs, "content", num_merges=40)
+        return bpe_encode(docs, "url", "content", m).select(
+            F.col("id").alias("url"),
+            "n_tokens",
+            F.md5("tokens").alias("tokens_md5"),
+        )
+    q["tok_bpe_encode"] = tok_bpe_encode
+
     # ---- web-corpus curation filters (operators/curation.py). Inputs
     #      are synthesized deterministically from doc_id arithmetic so
     #      every rule BITES; each oracle re-derives the expected output
@@ -1635,6 +1680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed full-suite artifact (CORRECTNESS_full_r05.json, from
 # tools/check_oracle.py over every registered entry).
 _WINDOW_FIRST = [
+    # new in r5 (BPE tokenizer induction)
+    "tok_bpe_merges",
+    "tok_bpe_encode",
     # new in r5 (modularity refinement + decontamination)
     "g2_modularity_refine",
     "g2_refine_distributed",
@@ -1744,6 +1792,19 @@ def _golden_kg_oracles() -> dict[str, str]:
         golden.golden_pack_sequences(_GOLDEN_N_DOCS),
         {"id": "VARCHAR", "tokens": "BIGINT", "bucket": "INT",
          "bin_ix": "INT", "oversize": "BOOLEAN"},
+    )
+    _bpe_merges_df, _bpe_enc_df = golden.golden_bpe(_GOLDEN_N_DOCS, 40)
+    _bpe_merges_df = _bpe_merges_df.rename(
+        columns={"rank": "merge_rank", "left": "lhs", "right": "rhs"}
+    )
+    out["tok_bpe_merges"] = _values_oracle(
+        _bpe_merges_df,
+        {"merge_rank": "INT", "lhs": "VARCHAR", "rhs": "VARCHAR",
+         "merged": "VARCHAR", "freq": "BIGINT"},
+    )
+    out["tok_bpe_encode"] = _values_oracle(
+        _bpe_enc_df,
+        {"url": "VARCHAR", "n_tokens": "BIGINT", "tokens_md5": "VARCHAR"},
     )
     out["kg_query_context"] = _values_oracle(
         golden.golden_kg_query_context(_GOLDEN_N_DOCS),

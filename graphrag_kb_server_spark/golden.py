@@ -953,3 +953,97 @@ def golden_modularity_refine(
     return pd.DataFrame(
         sorted(lab.items()), columns=["node", "label"]
     )
+
+
+def golden_bpe(
+    n_rows: int = 120, num_merges: int = 40, min_pair_freq: int = 2
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Sequential twin of operators/tokenize: BPE merge table + per-doc
+    encodings over the deterministic corpus — an independent pure-python
+    re-derivation (Counter-based pair statistics over the raw word
+    stream, per-word greedy encode) used to pin VALUES oracles for the
+    tok_bpe_* driver entries.
+
+    Returns (merges_df[rank,left,right,merged,freq],
+    enc_df[url,n_tokens,tokens_md5])."""
+    from collections import Counter
+
+    docs = golden_documents(n_rows)
+    doc_words: list[tuple[str, list[str]]] = []
+    for url, content in zip(docs["url"], docs["content"]):
+        ws = [w for w in re.split(r"\s+", content.strip().lower()) if w]
+        doc_words.append((url, ws))
+
+    # train on the word-frequency statistic (same sufficient statistic
+    # the engine collects), with Counter-based pair counting
+    wfreq = Counter(w for _, ws in doc_words for w in ws)
+    pieces = {w: tuple(list(w) + ["</w>"]) for w in wfreq}
+    merge_rows = []
+    for rank in range(num_merges):
+        pc: Counter = Counter()
+        for w, f in wfreq.items():
+            seq = pieces[w]
+            for pair in zip(seq, seq[1:]):
+                pc[pair] += f
+        if not pc:
+            break
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (a, b), cnt = top
+        if cnt < min_pair_freq:
+            break
+        merge_rows.append(
+            {"rank": rank, "left": a, "right": b, "merged": a + b,
+             "freq": int(cnt)}
+        )
+        nxt = {}
+        for w, seq in pieces.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            nxt[w] = tuple(out)
+        pieces = nxt
+    ranks = {(m["left"], m["right"]): m["rank"] for m in merge_rows}
+
+    def enc(word: str) -> list[str]:
+        seq = list(word) + ["</w>"]
+        while True:
+            cands = [
+                (ranks[(x, y)], i)
+                for i, (x, y) in enumerate(zip(seq, seq[1:]))
+                if (x, y) in ranks
+            ]
+            if not cands:
+                return seq
+            r = min(c[0] for c in cands)
+            a, b = next(
+                m for m in merge_rows if m["rank"] == r
+            )["left"], next(m for m in merge_rows if m["rank"] == r)["right"]
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+
+    word_toks = {w: enc(w) for w in wfreq}
+    enc_rows = []
+    for url, ws in doc_words:
+        toks = [t for w in ws for t in word_toks[w]]
+        enc_rows.append(
+            {
+                "url": url,
+                "n_tokens": len(toks),
+                "tokens_md5": hashlib.md5(
+                    " ".join(toks).encode("utf-8")
+                ).hexdigest(),
+            }
+        )
+    return pd.DataFrame(merge_rows), pd.DataFrame(enc_rows)
