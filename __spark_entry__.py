@@ -1434,6 +1434,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["tok_bpe_encode"] = tok_bpe_encode
 
+    def asof_events(spark, sf):
+        """As-of join (operators/asof.py): each click event matched to
+        the most recent prior-or-equal view by the same user — the
+        union + running-last window formulation (one key shuffle, no
+        join explosion). Oracle: DuckDB's native ASOF LEFT JOIN, an
+        independent engine's implementation of the same semantics."""
+        from graphrag_kb_server_spark.operators.asof import asof_join
+
+        ev = _t(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        views = ev.where(F.col("event_type") == "view").select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("view_id"),
+            F.col("value").alias("view_value"),
+        )
+        return asof_join(clicks, views, key="user_id", left_time="ts")
+    q["asof_events"] = asof_events
+
     # ---- web-corpus curation filters (operators/curation.py). Inputs
     #      are synthesized deterministically from doc_id arithmetic so
     #      every rule BITES; each oracle re-derives the expected output
@@ -1680,9 +1701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed full-suite artifact (CORRECTNESS_full_r05.json, from
 # tools/check_oracle.py over every registered entry).
 _WINDOW_FIRST = [
-    # new in r5 (BPE tokenizer induction)
+    # new in r5 (BPE tokenizer induction, as-of join)
     "tok_bpe_merges",
     "tok_bpe_encode",
+    "asof_events",
     # new in r5 (modularity refinement + decontamination)
     "g2_modularity_refine",
     "g2_refine_distributed",
@@ -1793,6 +1815,16 @@ def _golden_kg_oracles() -> dict[str, str]:
         {"id": "VARCHAR", "tokens": "BIGINT", "bucket": "INT",
          "bin_ix": "INT", "oversize": "BOOLEAN"},
     )
+    out["asof_events"] = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.ts AS asof_time, r.event_id AS view_id, r.value AS view_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
     _bpe_merges_df, _bpe_enc_df = golden.golden_bpe(_GOLDEN_N_DOCS, 40)
     _bpe_merges_df = _bpe_merges_df.rename(
         columns={"rank": "merge_rank", "left": "lhs", "right": "rhs"}
