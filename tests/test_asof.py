@@ -71,3 +71,40 @@ def test_asof_distinct_time_columns(spark):
         left, right, "k", left_time="lt", right_time="rt"
     ).collect()
     assert rows[0]["rv"] == "y" and rows[0]["asof_time"] == 6
+
+
+def test_asof_matches_pandas_merge_asof_property(spark):
+    """Randomized cross-check vs pandas.merge_asof (backward,
+    allow_exact_matches) — an independent implementation of the same
+    semantics, over data with duplicate keys, unmatched keys, and
+    boundary-equal times."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    lrows = [
+        (rng.randint(1, 5), rng.randint(0, 50), i) for i in range(120)
+    ]
+    rrows = [
+        (rng.randint(1, 6), rng.randint(0, 50) * 2 + 1, 1000 + i)
+        for i in range(80)
+    ]
+    # unique right (k, t) so both implementations pick the same winner
+    seen = set()
+    rrows = [
+        r for r in rrows
+        if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    left = spark.createDataFrame(lrows, "k int, t int, lid int")
+    right = spark.createDataFrame(rrows, "k int, t int, rid int")
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(left, right, "k", "t").collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["k", "t", "lid"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["k", "t", "rid"]).sort_values("t")
+    exp = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        want = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got[int(row["lid"])] == want, (row["lid"], row["k"], row["t"])
