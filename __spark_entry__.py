@@ -1133,10 +1133,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunker over synthetic docs with exactly the recorded totals
         # must reproduce the store's per-chunk counts — the oracle is
         # the artifact itself, not a twin of our code.
+        def _b26(n: int) -> str:
+            out = ""
+            while True:
+                out = chr(ord("a") + n % 26) + out
+                n //= 26
+                if n == 0:
+                    return out
+
+        # every token distinct across docs AND positions (letter-only
+        # words = one token each under the tokenizer's \s?[A-Za-z]+
+        # rule): identical windows would otherwise collapse in the
+        # content-hash chunk id dedup — exactly as they would in the
+        # reference's id-keyed chunk store, which the recorded fixture
+        # never exercises because real documents have distinct text
         docs = spark.createDataFrame(
             [
-                (did, "w" + " w" * (t - 1), "fixture")
-                for did, t in _dwell1_chunk_totals()
+                (
+                    did,
+                    " ".join(
+                        _b26(dix) + "q" + _b26(i) for i in range(t)
+                    ),
+                    "fixture",
+                )
+                for dix, (did, t) in enumerate(_dwell1_chunk_totals())
             ],
             "doc_id string, content string, file_path string",
         )

@@ -271,7 +271,9 @@ def golden_kg_canonical_map(n_rows: int, seed: int = 42) -> pd.DataFrame:
             if " " in b and a != b and a.upper() == _initials(b):
                 scored.add((a, b))
 
-    # connected components, component id = min member
+    # connected components; canonical = LONGEST member of the component
+    # (ties lexicographic) — the expansion survives an abbreviation
+    # link, mirroring the reference's abbreviation removal
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -285,8 +287,15 @@ def golden_kg_canonical_map(n_rows: int, seed: int = 42) -> pd.DataFrame:
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
+    members: dict[str, list[str]] = {}
+    for n in names:
+        members.setdefault(find(n), []).append(n)
+    rep = {
+        root: sorted(ms, key=lambda n: (-len(n), n))[0]
+        for root, ms in members.items()
+    }
     return pd.DataFrame(
-        {"name": names, "canonical_name": [find(n) for n in names]}
+        {"name": names, "canonical_name": [rep[find(n)] for n in names]}
     )
 
 

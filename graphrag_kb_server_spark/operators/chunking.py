@@ -10,9 +10,12 @@ Reference semantics: tiktoken windows of ``max_token_size=1024`` stepping
 
 Spark design: a ``mapInPandas`` one-to-many stage (Arrow-batched; the
 tokenizer is the only necessarily-Python step, same as tiktoken would
-be), followed by JVM-side ``md5`` for ids. The stage is narrow — no
-shuffle — so it scales embarrassingly with input partitions; at 100 TB
-the cost is one pass over the text bytes.
+be), followed by JVM-side ``md5`` for ids and ONE id-keyed exchange
+that collapses byte-identical chunks to a single row — the reference's
+chunk store is a dict keyed by the content hash, so duplicates across
+documents collapse there too. The windowing itself is narrow; at
+100 TB the cost is one pass over the text bytes plus that dedup
+shuffle (map-side partial-combined).
 
 Constraint (same as the reference's): ``overlap_token_size`` must exceed
 the longest sentence for the downstream per-chunk extractor to see every
@@ -112,4 +115,31 @@ def chunk_documents(
         explode_chunks, schema=CHUNKS_SCHEMA
     )
     # content-hash id computed by the JVM md5 builtin (codegen), not Python
-    return chunks.withColumn("chunk_id", chunk_id_col(F.col("content")))
+    out = chunks.withColumn("chunk_id", chunk_id_col(F.col("content")))
+    # The reference's text_chunks store is a dict keyed by this same
+    # content-hash id, so byte-identical chunks from DIFFERENT documents
+    # (mirrored articles, boilerplate pages — common on the web)
+    # collapse to ONE row there. Without this dedup a duplicated chunk
+    # fans out in every downstream chunk_id join (double-counted tokens
+    # in the query budget, inflated mention weights). Winner is the
+    # deterministic MIN (doc_id, chunk_ix, file_path) rather than the
+    # reference's processing-order last-wins (which is not reproducible
+    # under parallel ingestion); the aggregation partial-combines
+    # map-side, so the exchange it adds is duplicate-bounded per id and
+    # is the price of the reference's id-keyed store semantics.
+    return (
+        out.groupBy("chunk_id")
+        .agg(
+            F.min(
+                F.struct("doc_id", "chunk_ix", "n_tokens", "content", "file_path")
+            ).alias("_w")
+        )
+        .select(
+            "chunk_id",
+            F.col("_w.doc_id").alias("doc_id"),
+            F.col("_w.chunk_ix").alias("chunk_ix"),
+            F.col("_w.n_tokens").alias("n_tokens"),
+            F.col("_w.content").alias("content"),
+            F.col("_w.file_path").alias("file_path"),
+        )
+    )

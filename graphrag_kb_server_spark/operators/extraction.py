@@ -69,6 +69,16 @@ def extract_triples(text: str, is_first_chunk: bool = True) -> list[dict]:
     Returns dicts: subj, subj_type, pred, obj, obj_type, description,
     weight (1.0 per mention — summed by the T5 relation merge, matching
     the reference's summed edge weights).
+
+    Overlap semantics: the two skips below are FRAGMENT guards (a
+    sentence cut mid-way by the window boundary must not yield garbage
+    triples), not overlap dedup. A sentence that lies complete inside
+    the 128-token overlap is extracted in BOTH adjacent chunks and its
+    mentions merge at weight 2 — the same double extraction the
+    reference's per-chunk LLM pass performs on its own overlapping
+    windows (chunking_by_token_size overlap → both chunks hit the
+    extractor). The P/R gate compares DISTINCT triples, which both
+    conventions agree on.
     """
     out: list[dict] = []
     if not text:

@@ -50,19 +50,20 @@ DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # 4 bands × 2 rows
 
 
-def candidate_pairs(
+def _banded_names(
     names: DataFrame,
-    name_col: str = "name",
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-    max_bucket: int = 64,
+    name_col: str,
+    num_hashes: int,
+    bands: int,
 ) -> DataFrame:
-    """names → (name_a, name_b) candidate pairs, name_a < name_b."""
+    """(name, band) — the staged LSH blocking pipeline (shingles → hex
+    digests → signature → band keys → explode), shared by
+    candidate_pairs and candidate_bucket_stats so the md5/minhash work
+    (the dominant linking cost) has exactly one implementation. Staged
+    projections: the hex stage pays ONE md5 per shingle and
+    CollapseProject keeps it as its own project because the signature
+    references it num_hashes times."""
     rows_per_band = num_hashes // bands
-    # staged projections (shingles → hex digests → signature → bands):
-    # the hex stage pays ONE md5 per shingle and CollapseProject keeps
-    # it as its own project because the signature references it
-    # num_hashes times
     sig = (
         names.select(
             F.col(name_col).alias("name"),
@@ -72,7 +73,18 @@ def candidate_pairs(
         .select("name", H.minhash_from_hexes(F.col("_hx"), num_hashes).alias("_sig"))
         .select("name", H.lsh_bands(F.col("_sig"), bands, rows_per_band).alias("bands"))
     )
-    bucketed = sig.select("name", F.explode("bands").alias("band"))
+    return sig.select("name", F.explode("bands").alias("band"))
+
+
+def candidate_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """names → (name_a, name_b) candidate pairs, name_a < name_b."""
+    bucketed = _banded_names(names, name_col, num_hashes, bands)
     # split pathological buckets before the self-join (LSH guardrail —
     # bounded cost, nothing silently dropped)
     bucketed = split_oversized_buckets(bucketed, "band", "name", max_bucket)
@@ -98,17 +110,7 @@ def candidate_bucket_stats(
     were therefore split. A non-zero n_oversized at production scale is
     the signal to add bands/hashes (smaller collision probability) or
     raise max_bucket."""
-    rows_per_band = num_hashes // bands
-    sig = (
-        names.select(
-            F.col(name_col).alias("name"),
-            H.char_shingles(F.lower(F.col(name_col))).alias("_sh"),
-        )
-        .select("name", H.shingle_hexes(F.col("_sh"), num_hashes).alias("_hx"))
-        .select("name", H.minhash_from_hexes(F.col("_hx"), num_hashes).alias("_sig"))
-        .select("name", H.lsh_bands(F.col("_sig"), bands, rows_per_band).alias("bands"))
-    )
-    bucketed = sig.select("name", F.explode("bands").alias("band"))
+    bucketed = _banded_names(names, name_col, num_hashes, bands)
     return oversized_bucket_stats(bucketed, "band", max_bucket)
 
 
@@ -181,10 +183,25 @@ def canonical_map(
     if include_abbreviations:
         pairs = pairs.unionByName(abbreviation_pairs(names)).distinct()
     comp = connected_components(pairs, src="name_a", dst="name_b")
-    mapped = names.join(
-        comp.withColumnRenamed("node", "name"), "name", "left"
-    ).select(
-        "name", F.coalesce("component", F.col("name")).alias("canonical_name")
+    # canonical surface form = the LONGEST member of the component
+    # (ties: lexicographically smallest). The component label itself is
+    # the min member, which for an abbreviation link is the ABBREVIATION
+    # ("AI" < "Artificial Intelligence") — the reference's semantics
+    # remove the abbreviation in favor of the expansion
+    # (matching.py:38-59), so the representative is re-elected here.
+    rep = comp.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (-F.length("node")).alias("_nl"), F.col("node").alias("_n")
+            )
+        ).alias("_r")
+    ).select("component", F.col("_r._n").alias("_canon"))
+    mapped = (
+        names.join(comp.withColumnRenamed("node", "name"), "name", "left")
+        .join(rep, "component", "left")
+        .select(
+            "name", F.coalesce("_canon", F.col("name")).alias("canonical_name")
+        )
     )
     return mapped
 

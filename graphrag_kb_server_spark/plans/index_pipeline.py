@@ -43,12 +43,17 @@ from ..operators.linking import (
     canonicalize_graph,
 )
 
+#: canonical stage order — the single source of truth for the metrics
+#: sidecar sort (run_index) and for tooling that lists stage tables.
+#: "canonical_map:lsh_buckets" is the blocking-health metrics row
+#: emitted alongside the canonical_map stage, not a table.
 STAGES = [
     "documents",
     "chunks",
     "mentions",
     "nodes_raw",
     "edges_raw",
+    "canonical_map:lsh_buckets",
     "canonical_map",
     "nodes_pre",
     "edges_pre",
@@ -96,10 +101,44 @@ class IndexResult:
         return _read_table(spark, f"{self.out_dir}/{name}")
 
 
+def _is_remote(path: str) -> bool:
+    # any URI-schemed path (hdfs://, s3a://, gs://, ...) — the local
+    # os.path family cannot see these
+    return "://" in path and not path.startswith("file://")
+
+
 def _exists(path: str, spark: SparkSession | None = None) -> bool:
     if _is_iceberg():
         return spark is not None and spark.catalog.tableExists(_ident(path))
+    if _is_remote(path):
+        if spark is None:
+            return False
+        # Hadoop FS check — os.path.exists is always False for remote
+        # URIs, which would silently disable resume (every stage
+        # recomputed on every rerun of a cluster job)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
     return os.path.exists(f"{path}/_SUCCESS")
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small sidecar file to a local OR remote (hdfs/s3a) path
+    — the metrics sidecar must not crash a cluster run at the very end
+    because out_dir is not a local filesystem."""
+    if not _is_remote(path):
+        with open(path, "w") as f:
+            f.write(text)
+        return
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -355,15 +394,12 @@ def run_index(
     ])
 
     # canonical sidecar order regardless of concurrent completion order
-    order = {n: i for i, n in enumerate([
-        "documents", "chunks", "mentions", "nodes_raw", "edges_raw",
-        "canonical_map:lsh_buckets", "canonical_map", "nodes_pre",
-        "edges_pre", "nodes", "edges", "chunk_embeddings",
-        "entity_embeddings", "relation_embeddings", "doc_status",
-    ])}
-    res.metrics.sort(key=lambda m: order.get(m.get("stage"), 99))
-    with open(f"{out_dir}/metrics.json", "w") as f:
-        json.dump(res.metrics, f, indent=1)
+    order = {n: i for i, n in enumerate(STAGES)}
+    res.metrics.sort(key=lambda m: order.get(m.get("stage"), len(STAGES)))
+    if not _is_iceberg():
+        _write_text(
+            spark, f"{out_dir}/metrics.json", json.dumps(res.metrics, indent=1)
+        )
     _ = (nodes, edges, chunk_embeddings, entity_embeddings, relation_embeddings, doc_status)
     return res
 

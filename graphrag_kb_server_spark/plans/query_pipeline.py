@@ -256,6 +256,14 @@ def kg_query(
 ) -> QueryContext:
     params = params or QueryParams()
     mode = "hybrid" if params.mode == "all" else params.mode
+    if mode not in ("local", "global", "hybrid", "mix"):
+        # an unknown/misspelled mode would otherwise run zero branches
+        # and return an EMPTY context with status success — callers
+        # could not tell a bad mode from a genuinely empty result
+        raise ValueError(
+            f"kg_query: unsupported mode {params.mode!r} "
+            "(expected local | global | hybrid | mix | all)"
+        )
     keywords = extract_keywords(query, user_keywords)
     # Q1: embed once, reuse across all vector ops (reference :959-974)
     qvec = embed_text(query if not keywords else " ".join(keywords))
@@ -344,6 +352,14 @@ def kg_query(
     # reference does (file_path/created_at removed before counting,
     # lightrag_search.py:1208-1240): entities as {entity, type,
     # description}, relations as {entity1, entity2, description}.
+    # Known deviation: F.to_json emits compact separators ("," ":")
+    # while the reference counts json.dumps' spaced form (", " ": ") —
+    # the spaced punctuation can tokenize to slightly more tokens, so
+    # rows within a few tokens of max_entity/relation_tokens may be
+    # kept here that the reference would cut. The kept-set rule and
+    # ordering are identical; only the boundary token arithmetic
+    # differs (Catalyst's to_json has no separator option; the q8
+    # oracle pins THIS accounting).
     # Pre-truncation counts ride Observations on the plan nodes the
     # final collects execute anyway — zero extra Spark jobs (the
     # reference's processing_info counts, lightrag_search.py:693-712).
@@ -672,9 +688,25 @@ def answer_query(
                 "raw_data": ctx.raw_data(),
                 "processing_info": ctx.processing_info}
     cache = LlmCache.for_path(spark, cache_path or "/tmp/kgspark_llm_cache")
+    # cache key mirrors the reference's composition (lightrag_search.py
+    # :499-513: mode, query, response_type, top_k, token budgets,
+    # user_prompt, project_dir) — the kb scope here is the cache path
+    # itself, included so KBs sharing the default path cannot serve
+    # each other's answers
     answer = answer_with_cache(
         cache, params.mode, query,
-        {"top_k": attempt_params.top_k}, context_str, llm_fn=llm_fn,
+        {
+            "top_k": attempt_params.top_k,
+            "response_type": params.response_type,
+            "max_entity_tokens": attempt_params.max_entity_tokens,
+            "max_relation_tokens": attempt_params.max_relation_tokens,
+            "max_total_tokens": attempt_params.max_total_tokens,
+            "related_chunk_number": attempt_params.related_chunk_number,
+            "chunk_pick": attempt_params.chunk_pick,
+            "user_prompt": params.user_prompt or "",
+            "kb": cache_path or "/tmp/kgspark_llm_cache",
+        },
+        context_str, llm_fn=llm_fn,
         prompt=prompt,
     )
     return {"answer": answer, "references": ctx.references,

@@ -50,3 +50,24 @@ def test_chunk_documents_spark_matches_pure(spark):
     # chunk_id is content-hash (md5)
     import hashlib
     assert d1[0]["chunk_id"] == "chunk-" + hashlib.md5(d1[0]["content"].encode()).hexdigest()
+
+
+def test_duplicate_content_chunks_collapse(spark):
+    """Byte-identical chunks from different docs share a content-hash
+    id; the chunks table keeps ONE row per id with the deterministic
+    min-(doc_id, chunk_ix) winner — mirroring the reference's id-keyed
+    chunk store, where duplicates collapse on upsert."""
+    from graphrag_kb_server_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            ("doc-b", "same tiny body", "http://b"),
+            ("doc-a", "same tiny body", "http://a"),
+            ("doc-c", "a different body", "http://c"),
+        ],
+        "doc_id string, content string, file_path string",
+    )
+    rows = chunk_documents(docs).collect()
+    assert len(rows) == 2  # the two identical docs share one chunk row
+    winner = next(r for r in rows if r["content"] == "same tiny body")
+    assert winner["doc_id"] == "doc-a" and winner["file_path"] == "http://a"
