@@ -264,11 +264,11 @@ def golden_kg_canonical_map(n_rows: int, seed: int = 42) -> pd.DataFrame:
         if cos >= 0.80:
             scored.add((a, b))
 
-    for a in names:  # abbreviation channel
+    for a in names:  # abbreviation channel (single-word expansions too)
         if " " in a:
             continue
         for b in names:
-            if " " in b and a != b and a.upper() == _initials(b):
+            if a != b and a.upper() == _initials(b):
                 scored.add((a, b))
 
     # connected components; canonical = LONGEST member of the component

@@ -152,7 +152,12 @@ def connected_components(
                 F.coalesce("jlabel", "label").alias("label"),
                 "changed",
             )
-            labels = new_labels.drop("changed")
+            # per-round lazy checkpoint (same pattern as LPA's sweep
+            # loop): within a group the next round references `labels`
+            # twice (neigh + stepped) and self-joins `stepped` for the
+            # pointer jump — un-checkpointed, the previous round's
+            # subplan replays up to 4x per convergence check
+            labels = new_labels.drop("changed").localCheckpoint(eager=False)
             it += 1
         ck = new_labels.localCheckpoint(eager=False)
         n_changed = ck.agg(F.sum("changed")).first()[0] or 0

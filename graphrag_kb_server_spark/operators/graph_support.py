@@ -39,11 +39,12 @@ def topics(
     entity_types: list[str] | None = None,
     limit: int = 100,
 ) -> DataFrame:
-    """P1/P8 — centrality-ranked topic candidates with type filter:
-    filter(entity_type isin types) → orderBy(centrality desc) → limit."""
-    out = centrality_table
-    if entity_types:
-        out = out.where(F.col("entity_type").isin(entity_types))
-    return out.orderBy(F.desc("centrality"), "entity_id").limit(limit).select(
+    """P1/P8 — centrality-ranked topic candidates: the SAME selection
+    as personalization.candidate_entities (one implementation — the two
+    surfaces must not drift on tie-breaks), re-projected to the topics
+    shape."""
+    from .personalization import candidate_entities
+
+    return candidate_entities(centrality_table, entity_types, limit).select(
         F.col("entity_id").alias("name"), "description", F.col("entity_type").alias("type")
     )

@@ -158,9 +158,12 @@ def abbreviation_pairs(names: DataFrame, name_col: str = "name") -> DataFrame:
     abbrevs = base.select(F.col("name").alias("name_a"), F.upper("name").alias("_k")).where(
         ~F.col("name").contains(" ")
     )
+    # single-word names are valid expansions too (reference initials
+    # come from any split(): 'W' abbreviates 'Wombat'); the self-pair
+    # is excluded below
     expansions = base.select(
         F.col("name").alias("name_b"), TXT.initials(F.col("name")).alias("_k")
-    ).where(F.col("name").contains(" "))
+    )
     return (
         abbrevs.join(expansions, "_k")
         .where(F.col("name_a") != F.col("name_b"))

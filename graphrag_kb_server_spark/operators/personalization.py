@@ -110,14 +110,18 @@ def match_and_score(
 
 def remove_abbreviations(entities: DataFrame, name_col: str = "entity_id") -> DataFrame:
     """P3 — drop an entity whose uppercased form equals the initials of
-    another entity's words (matching.py:38-59): a theta self-join on the
-    initials expression."""
-    expansions = entities.select(initials(F.col(name_col)).alias("_init")).where(
-        F.col(name_col).contains(" ")
+    ANOTHER entity's words (matching.py:38-59): a theta self-join on the
+    initials expression. Single-word entities are expansions too — the
+    reference's is_abbreviation_of builds initials from any split()
+    ('W' is an abbreviation of 'Wombat'); only the self-pair is
+    excluded, mirroring its ``entity != entity2`` guard."""
+    expansions = entities.select(
+        F.col(name_col).alias("_src"), initials(F.col(name_col)).alias("_init")
     ).distinct()
     return entities.join(
         expansions,
-        F.upper(F.col(name_col)) == F.col("_init"),
+        (F.upper(F.col(name_col)) == F.col("_init"))
+        & (F.col(name_col) != F.col("_src")),
         "left_anti",
     )
 
@@ -188,7 +192,11 @@ def topics_from_text(
     extracted keywords with graph node names
     (lightrag_related_topics.py:46-62)."""
     spark = nodes.sparkSession
-    kw = spark.createDataFrame([(k,) for k in keywords], "kw string")
+    # the reference computes a SET intersection — case-insensitive
+    # duplicate keywords must not duplicate topic rows
+    kw = spark.createDataFrame(
+        [(k,) for k in sorted({k.lower() for k in keywords})], "kw string"
+    )
     return nodes.join(
         F.broadcast(kw), F.lower(F.col(name_col)) == F.lower(F.col("kw"))
     ).drop("kw")
@@ -226,9 +234,12 @@ def last_modified(web_pages_docs: DataFrame) -> DataFrame:
     """P12 — for webtext, warc_ts is the authoritative last-modified
     (replaces the reference's per-format metadata extraction,
     last_updated_service.py:24-168)."""
-    return web_pages_docs.select(
-        F.col("url").alias("file_path"), F.col("warc_ts").alias("last_modified")
-    ).dropDuplicates(["file_path"])
+    # a url recrawled N times has N warc_ts rows: "authoritative" =
+    # the LATEST crawl, picked deterministically (dropDuplicates kept a
+    # partition-order-dependent row)
+    return web_pages_docs.groupBy(F.col("url").alias("file_path")).agg(
+        F.max("warc_ts").alias("last_modified")
+    )
 
 
 def enrich_references(

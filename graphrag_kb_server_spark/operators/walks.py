@@ -112,8 +112,9 @@ def rerank_multi_run(
     """Multi-run rerank: sum scores over ``runs`` seeded runs
     (similar_topics.py:187-204). Runs differ only by seed offset."""
     out = None
+    base_seed = walk_kwargs.pop("seed", 42)  # caller seed composes, not collides
     for r in range(runs):
-        s = random_walk_with_restart(edges, source, seed=42 + r, **walk_kwargs)
+        s = random_walk_with_restart(edges, source, seed=base_seed + r, **walk_kwargs)
         out = s if out is None else out.unionByName(s)
     topk = walk_kwargs.get("topk", 10)
     return (
@@ -141,10 +142,20 @@ def panther_similarity(
     """
     spark = edges.sparkSession
     adj = _adjacency(edges).localCheckpoint(eager=False)
+    # NOTE on the global index window: Panther is the reference's
+    # interactive similarity op over an already-loaded KG (networkx,
+    # driver-sized — lightrag_related_topics.py:20-43); the dense
+    # 0..n-1 start index via one global row_number assumes that same
+    # bounded-graph regime. For corpus-scale graphs swap the start
+    # selection to a distributed top-num_paths by md5(node).
     node_ids = adj.select("node").withColumn(
         "_ix", F.row_number().over(bounded_global("node")) - 1
-    )
+    ).localCheckpoint(eager=False)  # indexed once: count + starts join reuse it
     n_nodes = node_ids.count()
+    if n_nodes == 0:
+        # empty graph: pmod(_, 0) would raise under ANSI; the answer is
+        # simply "no similar nodes"
+        return spark.createDataFrame([], "name string, score double")
 
     starts = spark.range(num_paths).select(F.col("id").alias("path_id")).withColumn(
         "_ix",

@@ -48,15 +48,25 @@ def run_incremental(
         import os
 
         status_path = f"{out_dir}/doc_status_stream"
-        fresh = batch
+        # in-batch dedup FIRST: the anti-join only sees PREVIOUS
+        # batches, so a content-duplicate pair delivered in one batch
+        # would append twice and break the idempotency invariant (the
+        # oracle's SELECT DISTINCT and a batch replay both dedup)
+        fresh = batch.dropDuplicates(["doc_id"])
         if os.path.exists(status_path):
             seen = batch.sparkSession.read.parquet(status_path).select("doc_id")
-            fresh = batch.join(seen, "doc_id", "left_anti")
-        fresh.write.mode("append").parquet(f"{out_dir}/documents_stream")
-        fresh.select(
-            "doc_id", F.lit("processed").alias("status"),
-            F.lit(int(epoch_id)).alias("epoch"),
-        ).write.mode("append").parquet(status_path)
+            fresh = fresh.join(seen, "doc_id", "left_anti")
+        # two write actions read `fresh`: persist so extract_text +
+        # the anti-join run once per batch, not once per sink
+        fresh = fresh.persist()
+        try:
+            fresh.write.mode("append").parquet(f"{out_dir}/documents_stream")
+            fresh.select(
+                "doc_id", F.lit("processed").alias("status"),
+                F.lit(int(epoch_id)).alias("epoch"),
+            ).write.mode("append").parquet(status_path)
+        finally:
+            fresh.unpersist()
         n_batches["n"] += 1
 
     q = (

@@ -162,6 +162,37 @@ def test_p1_p2_p3_p5(spark):
     assert grouped["geo"] == ["Berlin"]
 
 
+def test_p3_single_word_expansion_and_self_survival(spark):
+    """Reference initials come from any split(): 'W' abbreviates the
+    single word 'Wombat' and is dropped; a lone single-letter entity
+    survives (only the self-pair is excluded)."""
+    ents = spark.createDataFrame(
+        [("W", "geo", 0.5), ("Wombat", "geo", 0.9)],
+        "entity_id string, entity_type string, centrality double",
+    )
+    kept = {r["entity_id"] for r in remove_abbreviations(ents).collect()}
+    assert kept == {"Wombat"}
+    alone = spark.createDataFrame(
+        [("W", "geo", 0.5)],
+        "entity_id string, entity_type string, centrality double",
+    )
+    assert {r["entity_id"] for r in remove_abbreviations(alone).collect()} == {"W"}
+
+
+def test_p12_last_modified_picks_latest_recrawl(spark):
+    pages = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2026, 1, 2)),
+            ("u1", dt.datetime(2026, 3, 4)),
+            ("u1", dt.datetime(2025, 12, 31)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    out = last_modified(pages).collect()
+    assert len(out) == 1
+    assert out[0]["last_modified"] == dt.datetime(2026, 3, 4)
+
+
 def test_p6_relevance_sort_and_question():
     q = build_search_question("data engineer", ["spark", "graphs"])
     assert "data engineer" in q and "spark, graphs" in q
