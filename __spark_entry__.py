@@ -2339,7 +2339,8 @@ WHERE list_cosine_similarity(x.v, y.v) >= 0.2
 WITH f AS (
   SELECT doc_id,
          length(text) AS nchars,
-         len(string_split_regex(trim(text), '\s+')) AS nwords,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS nwords,
          CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS alpha,
          CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
@@ -2431,7 +2432,9 @@ FROM documents
 
     o["text_token_counts"] = r"""
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+')) END AS INT)
+         AS n_ws,
        CAST(len(regexp_extract_all(
          text, '''(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'
        )) AS INT) AS n_bpe

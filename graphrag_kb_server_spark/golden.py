@@ -432,14 +432,17 @@ def _round_robin(branches: list[list[dict]], key_fn) -> list[dict]:
 
 
 def _truncate(rows: list[dict], text_fn, budget: int) -> list[dict]:
-    """Twin of truncate_by_token_budget (keep_at_least_one=True)."""
+    """Twin of truncate_by_token_budget (faithful default: an
+    over-budget FIRST row yields an empty list, as the reference's
+    truncate_list_by_token_size does)."""
     from .tokenizer import count_tokens
 
     out, cum = [], 0
-    for i, r in enumerate(rows):
+    for r in rows:
         cum += count_tokens(text_fn(r))
-        if cum <= budget or i == 0:
-            out.append(r)
+        if cum > budget:
+            break
+        out.append(r)
     return out
 
 

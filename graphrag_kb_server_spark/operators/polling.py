@@ -31,6 +31,11 @@ def gradient_quotas(
     Pass ``n_total`` when the caller already knows the entity count
     (e.g. it collected the truncated list) to avoid a count() job."""
     r_total = entities_ranked.count() if n_total is None else n_total
+    if r_total == 0:
+        # empty entity list (reachable since truncation faithfully
+        # returns an empty prefix when the first row overflows the
+        # budget): no rows to quota, but keep the schema stable
+        return entities_ranked.withColumn("quota", F.lit(1).cast("int"))
     budget = total_budget_per_entity * r_total
     tri = r_total * (r_total + 1) / 2.0
     # floor(x + 0.5) instead of round(): identical half-up semantics in

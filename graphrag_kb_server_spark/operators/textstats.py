@@ -30,7 +30,7 @@ _LANG_MARKERS = {
     "de": ["der", "die", "das", "und", "ist", "mit", "für", "nicht"],
     "fr": ["le", "la", "les", "et", "est", "dans", "pour", "une"],
     "es": ["el", "la", "los", "que", "es", "con", "para", "una"],
-    "pt": ["não", "uma", "com", "por", "mais", "como", "dos", "ão"],
+    "pt": ["não", "uma", "com", "por", "mais", "como", "dos", "são"],
     "it": ["il", "gli", "che", "per", "del", "della", "sono", "anche"],
     "nl": ["het", "een", "van", "niet", "met", "voor", "zijn", "ook"],
     "pl": ["nie", "się", "jest", "że", "aby", "przez", "oraz", "tego"],
@@ -52,9 +52,12 @@ _SCRIPT_RANGES = {
     "el": "Ͱ-Ͽ",  # Greek
 }
 
-#: Latin letters incl. Latin-1 accents + Latin Extended-A (pl/ro/tr
-#: letters like ś ș ş ğ live in U+0100–U+017F) + dotless ı
-_LATIN_CLASS = "a-zà-ÿäöüßĀ-ſı"
+#: Latin letters incl. Latin-1 accents + Latin Extended-A (pl/tr
+#: letters like ś ş ğ live in U+0100–U+017F) + dotless ı + the
+#: Romanian COMMA-below letters ș/ț (U+0219/U+021B, Latin Extended-B —
+#: outside Ā-ſ; without them the most frequent Romanian word 'și' can
+#: never match because the word-split treats ș as a delimiter)
+_LATIN_CLASS = "a-zà-ÿäöüßĀ-ſıșț"
 
 
 def _marker_hits(words: Column, markers: list[str]) -> Column:
@@ -221,7 +224,12 @@ def add_language_id(
 
 
 def whitespace_token_count(text_col: Column) -> Column:
-    return F.size(F.split(F.trim(text_col), r"\s+"))
+    # split('') yields [''] (size 1): empty/whitespace-only text must
+    # count 0 words, not 1 — blank pages should not earn length credit
+    # in the quality score
+    return F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text_col), r"\s+"))
+    )
 
 
 def bpe_ish_token_count(text_col: Column) -> Column:

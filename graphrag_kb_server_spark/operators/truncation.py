@@ -43,12 +43,14 @@ def truncate_by_token_budget(
     text_col: str,
     order_col: str,
     budget: int,
-    keep_at_least_one: bool = True,
+    keep_at_least_one: bool = False,
 ) -> DataFrame:
     """Keep the maximal prefix (by ``order_col``) whose cumulative token
-    count ≤ budget. ``keep_at_least_one`` mirrors the reference behavior
-    of never returning an empty context when the first row alone
-    overflows the budget."""
+    count ≤ budget. The reference's truncate_list_by_token_size returns
+    an EMPTY list when the first row alone overflows the budget
+    (``return list_data[:i]`` with i=0), so the faithful default is
+    False; pass ``keep_at_least_one=True`` to guarantee a non-empty
+    context instead."""
     w = bounded_global(order_col).rowsBetween(Window.unboundedPreceding, 0)
     pos_w = bounded_global(order_col)
     out = (

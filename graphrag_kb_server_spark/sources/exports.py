@@ -26,6 +26,14 @@ def _check_size(df: DataFrame, what: str) -> None:
         )
 
 
+def _attr(v: str) -> str:
+    """Escape for an XML ATTRIBUTE position: saxutils.escape alone
+    leaves double quotes intact, so a name like 'John "Jack" Smith'
+    would terminate the attribute early — malformed XML no parser
+    accepts."""
+    return escape(v, {'"': "&quot;"})
+
+
 def to_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> None:
     """Write an undirected GraphML mirroring the reference's node/edge
     attribute keys (entity_type/description on nodes; weight/keywords/
@@ -39,19 +47,30 @@ def to_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> None:
         f.write('<key id="d1" for="node" attr.name="description" attr.type="string"/>\n')
         f.write('<key id="d2" for="edge" attr.name="weight" attr.type="double"/>\n')
         f.write('<key id="d3" for="edge" attr.name="keywords" attr.type="string"/>\n')
+        f.write('<key id="d4" for="edge" attr.name="description" attr.type="string"/>\n')
         f.write('<graph edgedefault="undirected">\n')
+        has_edge_desc = "description" in edges.columns
         for r in nodes.toLocalIterator():
             f.write(
-                f'<node id="{escape(r["name"])}">'
+                f'<node id="{_attr(r["name"])}">'
                 f'<data key="d0">{escape(r["type"] or "")}</data>'
                 f'<data key="d1">{escape((r["description"] or "")[:500])}</data>'
                 f"</node>\n"
             )
         for r in edges.toLocalIterator():
+            # a null weight must not serialize as the string 'None'
+            # inside an attr.type=double element (unparseable on read)
+            w = "" if r["weight"] is None else r["weight"]
+            desc = (
+                f'<data key="d4">{escape((r["description"] or "")[:500])}</data>'
+                if has_edge_desc
+                else ""
+            )
             f.write(
-                f'<edge source="{escape(r["src"])}" target="{escape(r["tgt"])}">'
-                f'<data key="d2">{r["weight"]}</data>'
+                f'<edge source="{_attr(r["src"])}" target="{_attr(r["tgt"])}">'
+                f'<data key="d2">{w}</data>'
                 f'<data key="d3">{escape(r["keywords"] or "")}</data>'
+                f"{desc}"
                 f"</edge>\n"
             )
         f.write("</graph>\n</graphml>\n")
@@ -175,12 +194,33 @@ def graph_to_html(
         }
         for r in top
     ]
+    # filter to the kept node set IN SPARK before collecting: edges are
+    # unbounded (nodes are capped at max_nodes, edges are not) and a
+    # driver-side 'in keep' filter would first materialize every edge
+    keep_df = nodes.sparkSession.createDataFrame(
+        [(k,) for k in sorted(keep)], "name string"
+    )
+    kept_edges = (
+        edges.select("src", "tgt", "weight")
+        .join(F.broadcast(keep_df.withColumnRenamed("name", "src")), "src")
+        .join(F.broadcast(keep_df.withColumnRenamed("name", "tgt")), "tgt")
+        .collect()
+    )
     es = [
-        {"from": r["src"], "to": r["tgt"], "value": float(r["weight"] or 1.0)}
-        for r in edges.select("src", "tgt", "weight").collect()
-        if r["src"] in keep and r["tgt"] in keep
+        # explicit None check: a legitimate weight of 0.0 is falsy and
+        # must not render as 1.0
+        {
+            "from": r["src"],
+            "to": r["tgt"],
+            "value": float(r["weight"]) if r["weight"] is not None else 1.0,
+        }
+        for r in kept_edges
     ]
-    payload = _json.dumps({"nodes": ns, "edges": es})
+    # '</' must not appear verbatim inside the <script> element: a node
+    # description containing '</script>' would otherwise terminate the
+    # block and inject markup into the viewer (json.dumps does not
+    # escape '/')
+    payload = _json.dumps({"nodes": ns, "edges": es}).replace("</", "<\\/")
     html = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>knowledge graph</title></head>
 <body style="margin:0"><canvas id="c"></canvas><script>
@@ -308,12 +348,12 @@ def communities_to_gexf(communities: DataFrame, path: str) -> None:
         f.write('<gexf xmlns="http://gexf.net/1.3" version="1.3">\n')
         f.write('<graph defaultedgetype="directed">\n<nodes>\n')
         for r in rows:
-            f.write(f'<node id="{escape(r["cluster"])}" label="{escape(r["cluster"])}"/>\n')
+            f.write(f'<node id="{_attr(r["cluster"])}" label="{_attr(r["cluster"])}"/>\n')
         f.write("</nodes>\n<edges>\n")
         for i, r in enumerate(rows):
             if r["parent_cluster"]:
                 f.write(
-                    f'<edge id="{i}" source="{escape(r["cluster"])}" '
-                    f'target="{escape(r["parent_cluster"])}"/>\n'
+                    f'<edge id="{i}" source="{_attr(r["cluster"])}" '
+                    f'target="{_attr(r["parent_cluster"])}"/>\n'
                 )
         f.write("</edges>\n</graph>\n</gexf>\n")

@@ -29,6 +29,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+_VERSION_COUNTER = 0
+
 _POINTER = "_current.json"
 
 
@@ -77,7 +79,21 @@ def upsert(
             updates
         )
     )
-    version = f"v{int(time.time() * 1000):x}"
+    # version id must be unique even under same-millisecond calls or a
+    # stepped-back clock: a colliding name would let mode=overwrite
+    # clobber the directory the live pointer targets, breaking the
+    # kill-safety contract. pid + a per-process counter make collisions
+    # impossible for a single writer. NOTE: the store is single-writer
+    # by contract (it mirrors the reference's per-project Postgres
+    # upsert, which serializes on the DB) — two concurrent writers race
+    # the read-merge-flip sequence and the last pointer flip wins,
+    # losing the other's rows; use a real table format (Iceberg MERGE)
+    # where concurrent writers are required.
+    global _VERSION_COUNTER
+    _VERSION_COUNTER += 1
+    version = (
+        f"v{int(time.time() * 1000):x}-{os.getpid():x}-{_VERSION_COUNTER:x}"
+    )
     os.makedirs(table_dir, exist_ok=True)
     writer = merged.write.mode("overwrite")
     if partition_by:

@@ -69,7 +69,15 @@ def test_kg_query_modes(spark, indexed):
     for mode in ["local", "global", "hybrid", "mix"]:
         ctx = kg_query(
             spark, g, f"What is the relationship between {hub} and others?",
-            QueryParams(mode=mode, top_k=10, max_total_tokens=3000),
+            # max_entity_tokens: the faithful truncation default drops
+            # ALL entities when the first serialized row overflows the
+            # budget (reference truncate_list_by_token_size); the
+            # reference default of 100 tokens is too small for this
+            # fixture's hub descriptions, so give a working budget
+            QueryParams(
+                mode=mode, top_k=10, max_total_tokens=8000,
+                max_entity_tokens=1600,
+            ),
         )
         if mode in ("local", "hybrid", "mix"):
             assert ctx.entities, mode
@@ -78,8 +86,24 @@ def test_kg_query_modes(spark, indexed):
             assert ctx.relations, mode
         assert ctx.chunks, mode
         assert ctx.context_str().startswith("-----Entities(KG)-----")
-        # token budgets respected (serialized rows fit the running sum)
-        assert ctx.processing_info["entities_after_truncation"] <= 10
+        # token budgets respected: the serialized kept rows fit the
+        # entity budget (hybrid/mix round-robin two branches, so the
+        # COUNT can exceed top_k — the budget is the real contract)
+        import json as _json
+
+        from graphrag_kb_server_spark.tokenizer import count_tokens
+
+        ser = [
+            _json.dumps(
+                {
+                    "entity": e["entity"],
+                    "type": e["type"],
+                    "description": e["description"],
+                }
+            )
+            for e in ctx.entities
+        ]
+        assert sum(count_tokens(s) for s in ser) <= 1600
         # Q15 fidelity: every reference carries warc_ts-derived
         # last_modified (lightrag_search.py:826-861)
         assert ctx.references and all(
@@ -176,8 +200,12 @@ def test_q16_context_template_shape(spark, indexed):
         .orderBy(F.desc("mention_count"))
         .first()["name"]
     )
+    # entity budget: the reference default (100 tokens) faithfully
+    # truncates to EMPTY on this fixture's long descriptions
     ctx = kg_query(spark, g, f"Tell me about {hub}",
-                   QueryParams(mode="hybrid", top_k=8))
+                   QueryParams(mode="hybrid", top_k=8,
+                               max_entity_tokens=1600,
+                               max_total_tokens=8000))
     s = ctx.context_str()
     sections = ["-----Entities(KG)-----", "-----Relationships(KG)-----",
                 "-----Document Chunks(DC)-----",

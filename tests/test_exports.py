@@ -106,3 +106,56 @@ def test_g10_html_visualization(spark, tmp_out):
     html2 = open(path).read()
     assert html == html2
     assert all(re.match(r"^#[0-9a-f]{6}$", c) for c in colors.values())
+
+
+def test_graphml_quotes_null_weight_and_edge_description(spark, tmp_out):
+    """Attribute-position escaping (a double quote in a node id must
+    not break the XML), null weights serialize as empty (not 'None'),
+    and edge descriptions round-trip."""
+    from graphrag_kb_server_spark.sources.ref_artifacts import read_graphml
+
+    nodes = spark.createDataFrame(
+        [('John "Jack" Smith', "person", "d1"), ("B", "geo", "d2")],
+        "name string, type string, description string",
+    )
+    edges = spark.createDataFrame(
+        [('John "Jack" Smith', "B", None, "kw", "edge sentence")],
+        "src string, tgt string, weight double, keywords string, description string",
+    )
+    path = f"{tmp_out}/gq.graphml"
+    to_graphml(nodes, edges, path)
+    # well-formed XML with the quoted id intact
+    root = ET.parse(path).getroot()
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    ids = {n.get("id") for n in root.find("g:graph", ns).findall("g:node", ns)}
+    assert 'John "Jack" Smith' in ids
+    # parse-back through the engine's own reader: weight None survives,
+    # description survives
+    _, edf = read_graphml(spark, path)
+    row = edf.first()
+    assert row["weight"] is None
+    assert row["description"] == "edge sentence"
+
+
+def test_html_export_script_injection_and_zero_weight(spark, tmp_out):
+    from graphrag_kb_server_spark.sources.exports import graph_to_html
+
+    nodes = spark.createDataFrame(
+        [("X", "</script><script>alert(1)</script>", 1),
+         ("Y", "ok", 1)],
+        "name string, description string, degree int",
+    )
+    edges = spark.createDataFrame(
+        [("X", "Y", 0.0)], "src string, tgt string, weight double"
+    )
+    path = f"{tmp_out}/g.html"
+    graph_to_html(nodes, edges, path)
+    html = open(path).read()
+    # the closing-tag sequence must not appear verbatim inside the
+    # embedded JSON payload (json.dumps leaves '/' unescaped)
+    payload_js = html.split("const data = ", 1)[1].split(";\n", 1)[0]
+    assert "</script>" not in payload_js
+    import json as _json
+
+    payload = _json.loads(payload_js.replace("<\\/", "</"))
+    assert payload["edges"][0]["value"] == 0.0  # falsy weight preserved

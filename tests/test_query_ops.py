@@ -30,9 +30,15 @@ def test_token_truncation_prefix(spark):
     df = spark.createDataFrame(rows, "pos int, txt string")
     out = truncate_by_token_budget(df, "txt", "pos", budget=35).collect()
     assert [r["pos"] for r in out] == [0, 1, 2]
-    # keep_at_least_one on overflow
+    # faithful default: an over-budget FIRST row yields an EMPTY result
+    # (the reference's truncate_list_by_token_size returns list[:0]);
+    # keep_at_least_one=True opts back into a guaranteed row
     out1 = truncate_by_token_budget(df, "txt", "pos", budget=3).collect()
-    assert [r["pos"] for r in out1] == [0]
+    assert out1 == []
+    out2 = truncate_by_token_budget(
+        df, "txt", "pos", budget=3, keep_at_least_one=True
+    ).collect()
+    assert [r["pos"] for r in out2] == [0]
 
 
 def test_cumulative_prefix_by_budget(spark):
