@@ -119,24 +119,55 @@ def approx_betweenness(
     # plan of cached-RDD scans — no checkpoint of its own needed
     visited = frontier.select("source", "node")
     levels = [frontier.withColumn("dist", F.lit(0))]
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(sym.withColumnRenamed("a", "node"), "node")
-            .select("source", F.col("b").alias("node"), "sigma")
-            .join(
-                visited.withColumn("_seen", F.lit(1)),
-                ["source", "node"],
-                "left",
+    # Batched loop control: build _STRIDE levels lazily, then ONE
+    # collect of their per-level counts (a union of empty-groupBy
+    # aggregates — a single job whose stages materialize every lazy
+    # checkpoint in the group). A frontier that empties mid-group only
+    # wastes the (empty-input, therefore near-free) joins of the
+    # group's tail; the counts tell us exactly which trailing levels to
+    # discard, so the result is identical to the per-level check while
+    # paying ceil(depth/_STRIDE) driver actions instead of depth.
+    _STRIDE = 3
+    d = 1
+    while d <= max_depth:
+        group: list[DataFrame] = []
+        for _ in range(_STRIDE):
+            if d > max_depth:
+                break
+            nxt = (
+                frontier.join(sym.withColumnRenamed("a", "node"), "node")
+                .select("source", F.col("b").alias("node"), "sigma")
+                .join(
+                    visited.withColumn("_seen", F.lit(1)),
+                    ["source", "node"],
+                    "left",
+                )
+                .where(F.col("_seen").isNull())
+                .groupBy("source", "node")
+                .agg(F.sum("sigma").alias("sigma"))
+            ).localCheckpoint(eager=False)
+            group.append(nxt.withColumn("dist", F.lit(d)))
+            visited = visited.unionByName(nxt.select("source", "node"))
+            frontier = nxt.select("source", "node", "sigma")
+            d += 1
+        stats = group[0].groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(0).alias("i"), "n"
+        )
+        for j, lvl in enumerate(group[1:], start=1):
+            stats = stats.unionByName(
+                lvl.groupBy()
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(j).alias("i"), "n")
             )
-            .where(F.col("_seen").isNull())
-            .groupBy("source", "node")
-            .agg(F.sum("sigma").alias("sigma"))
-        ).localCheckpoint(eager=False)
-        if nxt.count() == 0:
+        counts = {r["i"]: r["n"] for r in stats.collect()}
+        emptied = False
+        for j, lvl in enumerate(group):
+            if counts[j] == 0:
+                emptied = True
+                break
+            levels.append(lvl)
+        if emptied:
             break
-        levels.append(nxt.withColumn("dist", F.lit(d)))
-        visited = visited.unionByName(nxt.select("source", "node"))
-        frontier = nxt.select("source", "node", "sigma")
 
     # backward accumulation: delta(v) = sum over successors w of
     # sigma(v)/sigma(w) * (1 + delta(w))
