@@ -1643,6 +1643,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_decontaminate(docs, bench, "doc_id", "text", "bt", n=8)
     q["cur_decontaminate"] = cur_decontaminate
 
+    # ---- composed curation funnel (plans/curation_pipeline): C4 →
+    #      repetition → quality → PII → exact dedup in ONE pass (one
+    #      exchange total). Inputs are deterministic synthetic pages
+    #      built from doc_id alone — golden.synth_curation_page builds
+    #      the identical string in python, and golden_curation() is the
+    #      sequential twin of the whole funnel, pinned as VALUES.
+    def _synth_curation_docs(spark, n=200):
+        from graphrag_kb_server_spark.golden import (
+            _CUR_FIXED_PAGE,
+            _CUR_REPEATED_LINE,
+        )
+
+        d = F.col("doc_id")
+        parts = [
+            F.concat(
+                F.lit("The quick brown document "), (d % 7).cast("string"),
+                F.lit(" speaks plainly and ends well."),
+            ),
+            F.when(d % 5 == 0, F.lit("tiny.")),
+            F.when(d % 7 == 0, F.lit("no terminal punctuation here at all")),
+            F.when(
+                d % 11 == 0,
+                F.lit("Please enable javascript to continue reading this page."),
+            ),
+            F.when(d % 3 == 0, F.lit(_CUR_REPEATED_LINE)),
+            F.when(d % 3 == 0, F.lit(_CUR_REPEATED_LINE)),
+            F.when(d % 3 == 0, F.lit(_CUR_REPEATED_LINE)),
+            F.when(
+                d % 13 == 0,
+                F.concat(
+                    F.lit("Write to team"), (d % 4).cast("string"),
+                    F.lit("@example.org with the report today."),
+                ),
+            ),
+            F.when(
+                d % 17 == 0,
+                F.concat(
+                    F.lit("The origin server sits at 192.168.1."),
+                    (d % 9).cast("string"), F.lit(" for now."),
+                ),
+            ),
+            F.when(d % 19 == 0, F.lit("Call us at +1 555-0100 for more help today.")),
+            F.when(d % 29 == 0, F.lit("Lorem ipsum dolor sit amet consectetur.")),
+            F.when(d % 31 == 0, F.lit("A brace { sneaks into this line somehow.")),
+            F.when(d % 2 == 0, F.lit("Even documents carry one more pleasant line today.")),
+            F.concat(
+                F.lit("Unique closing sentence number "),
+                (d % 101).cast("string"), F.lit(" finishes the page."),
+            ),
+        ]
+        return spark.range(n).select(
+            F.col("id").cast("int").alias("doc_id")
+        ).select(
+            "doc_id",
+            F.when(d % 23 == 0, F.lit(_CUR_FIXED_PAGE))
+            .otherwise(F.concat_ws("\n", *parts))
+            .alias("text"),
+        )
+
+    def cur_pipeline(spark, sf):
+        from graphrag_kb_server_spark.plans.curation_pipeline import (
+            curate_corpus,
+        )
+
+        kept, _ = curate_corpus(_synth_curation_docs(spark))
+        return kept.select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            "quality_score",
+            "n_words",
+            "dup_line_frac",
+            "n_emails",
+            "n_ips",
+            "n_phones",
+            "dup_group_size",
+        )
+    q["cur_pipeline"] = cur_pipeline
+
+    def cur_pipeline_stats(spark, sf):
+        from graphrag_kb_server_spark.plans.curation_pipeline import (
+            curate_corpus,
+        )
+
+        _, stats = curate_corpus(_synth_curation_docs(spark))
+        return stats
+    q["cur_pipeline_stats"] = cur_pipeline_stats
+
     # ---- G2b: Louvain-style modularity refinement over LPA. The
     #      planted-block benchmark graph makes every phase bite (LPA
     #      over-fragments; merges recover blocks; local moves fix 26
@@ -1721,6 +1808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed full-suite artifact (CORRECTNESS_full_r05.json, from
 # tools/check_oracle.py over every registered entry).
 _WINDOW_FIRST = [
+    # newest in r5 (composed curation funnel)
+    "cur_pipeline",
+    "cur_pipeline_stats",
     # new in r5 (BPE tokenizer induction, as-of join)
     "tok_bpe_merges",
     "tok_bpe_encode",
@@ -1829,6 +1919,19 @@ def _golden_kg_oracles() -> dict[str, str]:
             outer_rounds=1, max_merge_passes=3, local_rounds=3
         ),
         {"node": "VARCHAR", "label": "VARCHAR"},
+    )
+    _cur_kept, _cur_stats = golden.golden_curation(200)
+    out["cur_pipeline"] = _values_oracle(
+        _cur_kept,
+        {"doc_id": "INT", "text_md5": "VARCHAR",
+         "quality_score": "DOUBLE", "n_words": "INT",
+         "dup_line_frac": "DOUBLE", "n_emails": "INT", "n_ips": "INT",
+         "n_phones": "INT", "dup_group_size": "BIGINT"},
+    )
+    out["cur_pipeline_stats"] = _values_oracle(
+        _cur_stats,
+        {"n_docs": "BIGINT", "n_c4": "BIGINT", "n_rep": "BIGINT",
+         "n_quality": "BIGINT", "n_lang": "BIGINT", "n_kept": "BIGINT"},
     )
     out["sample_pack_sequences"] = _values_oracle(
         golden.golden_pack_sequences(_GOLDEN_N_DOCS),

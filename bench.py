@@ -359,6 +359,37 @@ def main() -> None:
     repeat_load["g2_refine_kg"] = loads
     repeat_steal["g2_refine_kg"] = steals
 
+    # Composed curation funnel over the SAME web corpus the indexing
+    # headline uses: C4 lines → repetition → quality → lang-ID → PII →
+    # exact dedup, one scan + one exchange (plans/curation_pipeline).
+    # Timed as kept-noop-write + stats collect — both outputs a real
+    # curation job materializes.
+    def _curation_e2e() -> float:
+        from graphrag_kb_server_spark.plans.curation_pipeline import (
+            curate_corpus,
+        )
+
+        pages = spark.read.parquet(_ensure_corpus(spark, n_docs))
+        docs = pages.select(
+            F.col("url").alias("doc_id"),
+            TXT.extract_text(F.col("text"), F.col("url")).alias("content"),
+        )
+        t1 = time.time()
+        kept, stats = curate_corpus(docs, id_col="doc_id", text_col="content")
+        _noop_write(kept)
+        stats.collect()
+        return time.time() - t1
+
+    runs, loads, steals = [], [], []
+    for _ in range(repeats):
+        loads.append(_loadavg1())
+        ja = _cpu_jiffies()
+        runs.append(_curation_e2e())
+        steals.append(_steal_between(ja, _cpu_jiffies()))
+    repeat_times["curation_e2e"] = runs
+    repeat_load["curation_e2e"] = loads
+    repeat_steal["curation_e2e"] = steals
+
     # The online query path issues many small driver actions whose
     # codegen/JIT warm-up spans the first 2-3 invocations (observed:
     # 22.5 → 5.8 → 5.4 → 4.4s on an idle box) — with 2 repeats the min
@@ -397,6 +428,7 @@ def main() -> None:
                 "cpus": cpus,
                 "index_docs": n_docs,
                 "index_docs_per_sec": round(n_docs / min(idx_runs), 2),
+                "curation_docs_per_sec": round(n_docs / min(runs), 2),
             }
         )
     )

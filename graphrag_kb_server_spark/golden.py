@@ -1059,3 +1059,206 @@ def golden_bpe(
             }
         )
     return pd.DataFrame(merge_rows), pd.DataFrame(enc_rows)
+
+
+# ---------------------------------------------------------------------------
+# cur_pipeline twin — the composed curation funnel, re-derived
+# sequentially (plans/curation_pipeline.curate_corpus)
+# ---------------------------------------------------------------------------
+
+def _round6(x: float) -> float:
+    """Half-up rounding to 6 places on the double's shortest decimal
+    repr — the semantics of Spark's F.round (BigDecimal.valueOf +
+    HALF_UP), where python's built-in round is half-even."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+#: the fixed page every doc_id % 23 == 0 document becomes — the exact
+#: dedup's collapse group
+_CUR_FIXED_PAGE = (
+    "A fixed duplicate page begins with this line.\n"
+    "It continues with another well formed line here.\n"
+    "It ends with the third identical sentence now."
+)
+_CUR_REPEATED_LINE = "A repeated filler sentence appears again and again."
+
+
+def synth_curation_page(d: int) -> str:
+    """Deterministic multi-line synthetic page for doc_id ``d`` —
+    exercises every branch of the curation funnel. The Spark entry
+    (``cur_pipeline``) builds the identical string with Catalyst
+    expressions; keep the two in lockstep."""
+    if d % 23 == 0:
+        return _CUR_FIXED_PAGE
+    lines = [
+        f"The quick brown document {d % 7} speaks plainly and ends well."
+    ]
+    if d % 5 == 0:
+        lines.append("tiny.")
+    if d % 7 == 0:
+        lines.append("no terminal punctuation here at all")
+    if d % 11 == 0:
+        lines.append("Please enable javascript to continue reading this page.")
+    if d % 3 == 0:
+        lines += [_CUR_REPEATED_LINE] * 3
+    if d % 13 == 0:
+        lines.append(f"Write to team{d % 4}@example.org with the report today.")
+    if d % 17 == 0:
+        lines.append(f"The origin server sits at 192.168.1.{d % 9} for now.")
+    if d % 19 == 0:
+        lines.append("Call us at +1 555-0100 for more help today.")
+    if d % 29 == 0:
+        lines.append("Lorem ipsum dolor sit amet consectetur.")
+    if d % 31 == 0:
+        lines.append("A brace { sneaks into this line somehow.")
+    if d % 2 == 0:
+        lines.append("Even documents carry one more pleasant line today.")
+    lines.append(f"Unique closing sentence number {d % 101} finishes the page.")
+    return "\n".join(lines)
+
+
+def golden_curation(
+    n_docs: int,
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    min_quality: float = 0.30,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Sequential twin of ``curate_corpus`` over the synthetic pages —
+    independent re-derivation of the C4 line filter, duplicate-line
+    fractions, quality score, PII redaction and exact dedup. Returns
+    (kept rows, one-row funnel stats)."""
+    from .operators.textstats import _LANG_MARKERS
+
+    email_re = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ip_re = re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")
+    phone_re = re.compile(r"\+\d{1,2}[- ]\d{3}[- ]\d{4}")
+    terminal_re = re.compile(r'[.!?"]\s*$')
+    en_markers = set(_LANG_MARKERS["en"])
+
+    staged = []
+    for d in range(n_docs):
+        t = synth_curation_page(d)
+        lines = t.split("\n")
+        kept_lines = [
+            ln
+            for ln in lines
+            if terminal_re.search(ln)
+            and len(ln.split()) >= min_words
+            and "javascript" not in ln.lower()
+            and "{" not in ln
+            and "}" not in ln
+        ]
+        c4_keep = (
+            len(kept_lines) >= min_kept_lines
+            and "lorem ipsum" not in t.lower()
+            and "{" not in t
+        )
+        c4_text = "\n".join(kept_lines)
+
+        units = c4_text.split("\n")
+        n_units = len(units)
+        dis = set(units)
+        total_chars = sum(len(u) for u in units)
+        dis_chars = sum(len(u) for u in dis)
+        dup_frac = _round6((n_units - len(dis)) / max(n_units, 1))
+        dup_char_frac = _round6(
+            (total_chars - dis_chars) / max(total_chars, 1)
+        )
+        rep_ok = (
+            dup_frac <= max_dup_line_frac
+            and dup_char_frac <= max_dup_line_char_frac
+        )
+
+        nchars = len(c4_text)
+        nwords = len(c4_text.split()) if c4_text.strip() else 0
+        alpha = len(re.sub(r"[^A-Za-z]", "", c4_text)) / max(nchars, 1)
+        punct = len(re.sub(r"[^.,;:!?]", "", c4_text)) / max(nchars, 1)
+        words = set(re.split(r"[^a-z]+", c4_text.lower()))
+        stop = len(words & en_markers) / 8.0
+        if nwords < 5:
+            len_score = nwords / 5.0
+        elif nwords > 5000:
+            len_score = 0.5
+        else:
+            len_score = 1.0
+        score = _round6(
+            0.35 * len_score
+            + 0.25 * min(alpha * 1.25, 1.0)
+            + 0.25 * min(stop, 1.0)
+            + 0.15 * (1.0 - min(punct * 5, 1.0))
+        )
+        quality_ok = score >= min_quality
+        keep = c4_keep and rep_ok and quality_ok
+        staged.append(
+            {
+                "doc_id": d,
+                "c4_keep": c4_keep,
+                "rep_ok": rep_ok,
+                "quality_ok": quality_ok,
+                "keep": keep,
+                "c4_text": c4_text,
+                "quality_score": score,
+                "n_words": nwords,
+                "dup_line_frac": dup_frac,
+            }
+        )
+
+    survivors = []
+    for r in staged:
+        if not r["keep"]:
+            continue
+        t = r["c4_text"]
+        n_emails = len(email_re.findall(t))
+        step1 = email_re.sub("<EMAIL>", t)
+        n_ips = len(ip_re.findall(step1))
+        step2 = ip_re.sub("<IP>", step1)
+        n_phones = len(phone_re.findall(step2))
+        step3 = phone_re.sub("<PHONE>", step2)
+        survivors.append(
+            {**r, "text": step3, "n_emails": n_emails, "n_ips": n_ips,
+             "n_phones": n_phones}
+        )
+
+    by_text: dict[str, list[dict]] = {}
+    for r in survivors:
+        by_text.setdefault(r["text"], []).append(r)
+    kept_rows = []
+    for group in by_text.values():
+        winner = min(group, key=lambda r: r["doc_id"])
+        kept_rows.append(
+            {
+                "doc_id": winner["doc_id"],
+                "text_md5": hashlib.md5(
+                    winner["text"].encode("utf-8")
+                ).hexdigest(),
+                "quality_score": winner["quality_score"],
+                "n_words": winner["n_words"],
+                "dup_line_frac": winner["dup_line_frac"],
+                "n_emails": winner["n_emails"],
+                "n_ips": winner["n_ips"],
+                "n_phones": winner["n_phones"],
+                "dup_group_size": len(group),
+            }
+        )
+    kept_rows.sort(key=lambda r: r["doc_id"])
+
+    stats = pd.DataFrame(
+        [
+            {
+                "n_docs": n_docs,
+                "n_c4": sum(r["c4_keep"] for r in staged),
+                "n_rep": sum(r["c4_keep"] and r["rep_ok"] for r in staged),
+                "n_quality": sum(
+                    r["c4_keep"] and r["rep_ok"] and r["quality_ok"]
+                    for r in staged
+                ),
+                "n_lang": sum(r["keep"] for r in staged),
+                "n_kept": len(kept_rows),
+            }
+        ]
+    )
+    return pd.DataFrame(kept_rows), stats

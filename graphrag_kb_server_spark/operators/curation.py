@@ -153,6 +153,44 @@ def gopher_repetition(
     return out.withColumnRenamed("id", id_col)
 
 
+def repetition_signal_cols(units: Column, unit: str = "line") -> dict[str, Column]:
+    """Row-local variant of :func:`gopher_repetition` over an
+    already-split array of units — for composed pipelines where the
+    text is a staged column and a shuffle per signal is wasteful.
+
+    Identical arithmetic: the explode form sums ``cnt − 1`` per
+    distinct unit, which equals ``n_units − n_distinct``; the
+    char-weighted numerator ``Σ (cnt−1)·len`` equals
+    ``total_chars − distinct_chars``. Rounding matches (6 places).
+
+    One deliberate difference: denominators are guarded with
+    ``greatest(·, 1)`` so the columns are safe to COMPUTE on rows a
+    later filter drops (ANSI mode would otherwise raise on an
+    all-empty-unit row that ``c4_keep`` is about to discard anyway);
+    the explode form has no such rows because its input is the
+    filter's survivor set.
+    """
+    n = F.size(units)
+    dis = F.array_distinct(units)
+    total_chars = F.aggregate(
+        units, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    distinct_chars = F.aggregate(
+        dis, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return {
+        f"n_{unit}s": n.cast("bigint"),
+        f"dup_{unit}_frac": F.round(
+            (n - F.size(dis)) / F.greatest(n, F.lit(1)), 6
+        ),
+        f"dup_{unit}_char_frac": F.round(
+            (total_chars - distinct_chars)
+            / F.greatest(total_chars, F.lit(1)).cast("double"),
+            6,
+        ),
+    }
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (regex scrub — emails, IPv4, international phone)
 # ---------------------------------------------------------------------------

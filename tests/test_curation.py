@@ -235,3 +235,69 @@ def test_ngram_decontaminate_flags_verbatim_inclusion(spark):
     assert not rows[2].contaminated and rows[2].overlap_ngrams == 0
     assert not rows[3].contaminated
     assert len(rows) == 3  # every input doc gets a row
+
+
+def test_repetition_signal_cols_match_gopher(spark):
+    """The row-local HOF variant must produce the same fractions as the
+    explode+agg form on every doc (incl. heavy repeats and no repeats)."""
+    from graphrag_kb_server_spark.operators.curation import (
+        gopher_repetition,
+        repetition_signal_cols,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a one.\nb two.\na one.\nc three.\na one."),
+            (2, "all.\ndistinct.\nlines.\nhere."),
+            (3, "x.\nx.\nx.\nx."),
+            (4, "single line only."),
+        ],
+        "doc_id int, text string",
+    )
+    hof = docs.withColumn("_u", F.split("text", "\n"))
+    for name, col in repetition_signal_cols(F.col("_u")).items():
+        hof = hof.withColumn(name, col)
+    got = {
+        r["doc_id"]: (r["n_lines"], r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in hof.collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_lines"], r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in gopher_repetition(docs, "doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_curate_corpus_funnel(spark):
+    from graphrag_kb_server_spark.plans.curation_pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog today.\n"
+                "It is a fine day for the dog and the fox.\n"
+                "The end of the story is here with the dog."),
+            (2, "repeat me now and then.\nrepeat me now and then.\n"
+                "repeat me now and then.\nrepeat me now and then.\n"
+                "The only unique line is this one right here."),
+            (3, "Enable javascript to continue.\ntiny.\n{ code }"),
+            (4, "The quick brown fox jumps over the lazy dog today.\n"
+                "It is a fine day for the dog and the fox.\n"
+                "The end of the story is here with the dog."),
+            (5, "Contact me at bob@example.com for all of the details today.\n"
+                "The server of the company is at 10.0.0.1 for all of it.\n"
+                "This is the third good line of the document for the test."),
+        ],
+        "doc_id int, text string",
+    )
+    kept, stats = curate_corpus(docs)
+    s = stats.collect()[0]
+    # 3 fails C4, 2 fails repetition, 1+4 dedup into one
+    assert (s["n_docs"], s["n_c4"], s["n_rep"], s["n_kept"]) == (5, 4, 3, 2)
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    assert set(rows) == {1, 5}
+    assert rows[1]["dup_group_size"] == 2
+    assert rows[5]["n_emails"] == 1 and rows[5]["n_ips"] == 1
+    assert "<EMAIL>" in rows[5]["text"] and "bob@" not in rows[5]["text"]
+    # langs filter bites
+    _, stats_de = curate_corpus(docs, langs=("de",))
+    assert stats_de.collect()[0]["n_lang"] == 0
