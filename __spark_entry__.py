@@ -1643,6 +1643,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_decontaminate(docs, bench, "doc_id", "text", "bt", n=8)
     q["cur_decontaminate"] = cur_decontaminate
 
+    def cur_hot_ngrams(spark, sf):
+        from graphrag_kb_server_spark.operators.curation import hot_ngrams
+
+        return hot_ngrams(_t(spark, sf, "documents"), "text", n=3,
+                          min_doc_freq=3)
+    q["cur_hot_ngrams"] = cur_hot_ngrams
+
+    def cur_boilerplate_frac(spark, sf):
+        from graphrag_kb_server_spark.operators.curation import (
+            boilerplate_ngram_stats,
+        )
+
+        return boilerplate_ngram_stats(
+            _t(spark, sf, "documents"), "doc_id", "text", n=3, min_doc_freq=3
+        )
+    q["cur_boilerplate_frac"] = cur_boilerplate_frac
+
     # ---- composed curation funnel (plans/curation_pipeline): C4 →
     #      repetition → quality → PII → exact dedup in ONE pass (one
     #      exchange total). Inputs are deterministic synthetic pages
@@ -1808,7 +1825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed full-suite artifact (CORRECTNESS_full_r05.json, from
 # tools/check_oracle.py over every registered entry).
 _WINDOW_FIRST = [
-    # newest in r5 (composed curation funnel)
+    # newest in r5 (hot n-gram boilerplate mining, composed funnel)
+    "cur_hot_ngrams",
+    "cur_boilerplate_frac",
     "cur_pipeline",
     "cur_pipeline_stats",
     # new in r5 (BPE tokenizer induction, as-of join)
@@ -3419,6 +3438,51 @@ hits AS (
 SELECT t.doc_id, coalesce(overlap_ngrams, 0) > 0 AS contaminated,
   CAST(coalesce(overlap_ngrams, 0) AS BIGINT) AS overlap_ngrams
 FROM tok t LEFT JOIN hits USING (doc_id)
+"""
+    # independent derivation: the engine counts doc-frequency via
+    # array_distinct-then-count; the oracle via count(DISTINCT doc_id)
+    o["cur_hot_ngrams"] = """
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS ts
+  FROM documents
+),
+dg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+    i -> array_to_string(ts[i:i+2], ' '))) AS g
+  FROM tok WHERE len(ts) >= 3
+)
+SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM dg GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+"""
+    o["cur_boilerplate_frac"] = """
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+    i -> array_to_string(ts[i:i+2], ' '))) AS g
+  FROM tok WHERE len(ts) >= 3
+),
+hot AS (
+  SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+),
+agg AS (
+  SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(count(h.g) AS BIGINT) AS hot_ngrams
+  FROM pos p LEFT JOIN hot h ON p.g = h.g
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id,
+  CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+  CAST(coalesce(hot_ngrams, 0) AS BIGINT) AS hot_ngrams,
+  round(coalesce(hot_ngrams, 0) / greatest(coalesce(n_ngrams, 0), 1), 6)
+    AS boilerplate_frac
+FROM tok t LEFT JOIN agg USING (doc_id)
 """
     o["cur_paragraph_dedup"] = """
 WITH s AS (

@@ -465,3 +465,97 @@ def ngram_decontaminate(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide repeated n-grams (boilerplate mining)
+# ---------------------------------------------------------------------------
+
+
+def hot_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """Mine word-level ``n``-grams that appear in at least
+    ``min_doc_freq`` DISTINCT documents — the corpus-frequency side of
+    repeated-passage detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": memorization tracks
+    sequences duplicated across documents, not within one).
+
+    Returns ``(g, doc_freq)``. Tokenization is :func:`word_ngrams`'s
+    (shared with decontamination, so the two signals compose).
+
+    Shape at 100 TB: ``array_distinct`` BEFORE the explode makes each
+    document contribute each gram once, so ``count(*)`` IS the
+    document frequency — no ``count_distinct``/Expand anywhere. The
+    single exchange keys on the gram with map-side partial
+    aggregation: a boilerplate gram on 10^9 pages reduces to one row
+    per partition before it shuffles, which is exactly the hot-key
+    regime partial combine exists for. The ``min_doc_freq`` filter
+    runs post-aggregate (it must — frequency is the aggregate), and
+    everything it discards died map-side first.
+    """
+    grams = df.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g")
+    )
+    return (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_doc_freq: int = 3,
+    hot: DataFrame | None = None,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Per-document boilerplate signal: the fraction of a document's
+    n-gram POSITIONS whose gram is corpus-hot (per :func:`hot_ngrams`)
+    — position-weighted, so a page that repeats one hot slogan twenty
+    times scores higher than a page quoting it once. Documents with
+    fewer than ``n`` tokens yield ``n_ngrams = 0`` and fraction 0.
+
+    Returns every input row as ``(id, n_ngrams, hot_ngrams,
+    boilerplate_frac)``.
+
+    Shape: the hot set (pass ``hot`` to reuse a precomputed one) is
+    **broadcast** by default — by construction it holds only grams
+    crossing ``min_doc_freq``, orders of magnitude smaller than the
+    gram stream; at a threshold low enough to overflow the driver, set
+    ``broadcast_hot=False`` for a shuffle join keyed on the gram. The
+    left join has multiplicity 1 (``hot`` is distinct-by-key), so the
+    only other exchange is the per-doc count aggregation on ``id``.
+    """
+    if hot is None:
+        hot = hot_ngrams(df, text_col, n, min_doc_freq)
+    probe = hot.select("g").withColumn("_hot", F.lit(1))
+    if broadcast_hot:
+        probe = F.broadcast(probe)
+    positions = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    marked = positions.join(probe, "g", "left")
+    out = marked.groupBy("id").agg(
+        F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ngrams"),
+        F.sum(F.coalesce(F.col("_hot"), F.lit(0))).cast("bigint").alias(
+            "hot_ngrams"
+        ),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_ngrams",
+        "hot_ngrams",
+        F.round(
+            F.col("hot_ngrams") / F.greatest(F.col("n_ngrams"), F.lit(1)), 6
+        ).alias("boilerplate_frac"),
+    )

@@ -301,3 +301,43 @@ def test_curate_corpus_funnel(spark):
     # langs filter bites
     _, stats_de = curate_corpus(docs, langs=("de",))
     assert stats_de.collect()[0]["n_lang"] == 0
+
+
+def test_hot_ngrams_and_boilerplate_frac(spark):
+    """doc_freq counts DISTINCT documents (in-doc repeats don't
+    inflate it); the boilerplate fraction is position-weighted."""
+    from graphrag_kb_server_spark.operators.curation import (
+        boilerplate_ngram_stats,
+        hot_ngrams,
+    )
+
+    slogan = "buy our product now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{slogan} {slogan} unrelated tail words here"),
+            (2, f"intro words then {slogan} closing"),
+            (3, f"{slogan}"),
+            (4, "completely different text with no repeats at all"),
+            (5, "xy"),  # < n tokens
+        ],
+        "doc_id int, text string",
+    )
+    hot = {r["g"]: r["doc_freq"]
+           for r in hot_ngrams(docs, "text", n=4, min_doc_freq=3).collect()}
+    # the slogan 4-gram is in docs 1,2,3 — doc 1's repeat adds nothing
+    assert hot["buy our product now"] == 3
+    assert all(df >= 3 for df in hot.values())
+
+    stats = {
+        r["doc_id"]: r
+        for r in boilerplate_ngram_stats(
+            docs, "doc_id", "text", n=4, min_doc_freq=3
+        ).collect()
+    }
+    assert set(stats) == {1, 2, 3, 4, 5}
+    # doc 1: 12 tokens → 9 positions; slogan occurs at 2 positions
+    r1 = stats[1]
+    assert (r1["n_ngrams"], r1["hot_ngrams"]) == (9, 2)
+    assert stats[3]["boilerplate_frac"] == 1.0
+    assert stats[4]["hot_ngrams"] == 0
+    assert (stats[5]["n_ngrams"], stats[5]["boilerplate_frac"]) == (0, 0.0)
