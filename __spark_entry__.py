@@ -1747,6 +1747,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return stats
     q["cur_pipeline_stats"] = cur_pipeline_stats
 
+    # ---- G1c: PageRank over a deterministic synthetic digraph —
+    #      golden.synth_digraph_edges builds the identical edge list in
+    #      python and golden_pagerank is the sequential power-iteration
+    #      twin (dangling mass + teleport), pinned as VALUES.
+    def g1_pagerank(spark, sf):
+        from graphrag_kb_server_spark.operators.centrality import pagerank
+
+        n = 200
+        i = F.col("i")
+        ids = spark.range(n).select(F.col("id").cast("int").alias("i"))
+        tgts = F.filter(
+            F.array(
+                ((2 * i + 1) % n).cast("int"),
+                ((3 * i + 7) % n).cast("int"),
+                F.when(i % 7 == 0, F.lit(0)),
+            ),
+            lambda t: t.isNotNull() & (t != i),
+        )
+        edges = (
+            ids.where(i % 11 != 0)
+            .select(i.alias("src"), F.explode(tgts).alias("tgt"))
+            .distinct()
+        )
+        nodes = spark.range(n).select(F.col("id").cast("int").alias("name"))
+        pr = pagerank(edges, nodes=nodes)
+        return pr.select(
+            F.col("name").alias("node"), F.round("rank", 6).alias("pr")
+        )
+    q["g1_pagerank"] = g1_pagerank
+
+    def g1_pagerank_distributed(spark, sf):
+        # threshold 0 forces the distributed strided rounds — keeps
+        # them continuously oracled while the size-adaptive guard
+        # routes small graphs driver-side (same twin, same VALUES)
+        from graphrag_kb_server_spark.operators.centrality import pagerank
+
+        n = 200
+        i = F.col("i")
+        ids = spark.range(n).select(F.col("id").cast("int").alias("i"))
+        tgts = F.filter(
+            F.array(
+                ((2 * i + 1) % n).cast("int"),
+                ((3 * i + 7) % n).cast("int"),
+                F.when(i % 7 == 0, F.lit(0)),
+            ),
+            lambda t: t.isNotNull() & (t != i),
+        )
+        edges = (
+            ids.where(i % 11 != 0)
+            .select(i.alias("src"), F.explode(tgts).alias("tgt"))
+            .distinct()
+        )
+        nodes = spark.range(n).select(F.col("id").cast("int").alias("name"))
+        pr = pagerank(edges, nodes=nodes, driver_edge_threshold=0)
+        return pr.select(
+            F.col("name").alias("node"), F.round("rank", 6).alias("pr")
+        )
+    q["g1_pagerank_distributed"] = g1_pagerank_distributed
+
     # ---- G2b: Louvain-style modularity refinement over LPA. The
     #      planted-block benchmark graph makes every phase bite (LPA
     #      over-fragments; merges recover blocks; local moves fix 26
@@ -1825,7 +1884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed full-suite artifact (CORRECTNESS_full_r05.json, from
 # tools/check_oracle.py over every registered entry).
 _WINDOW_FIRST = [
-    # newest in r5 (hot n-gram boilerplate mining, composed funnel)
+    # newest in r5 (pagerank, hot n-gram boilerplate mining, funnel)
+    "g1_pagerank",
+    "g1_pagerank_distributed",
     "cur_hot_ngrams",
     "cur_boilerplate_frac",
     "cur_pipeline",
@@ -1939,6 +2000,11 @@ def _golden_kg_oracles() -> dict[str, str]:
         ),
         {"node": "VARCHAR", "label": "VARCHAR"},
     )
+    out["g1_pagerank"] = _values_oracle(
+        golden.golden_pagerank(200),
+        {"node": "INT", "pr": "DOUBLE"},
+    )
+    out["g1_pagerank_distributed"] = out["g1_pagerank"]
     _cur_kept, _cur_stats = golden.golden_curation(200)
     out["cur_pipeline"] = _values_oracle(
         _cur_kept,

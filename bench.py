@@ -359,6 +359,29 @@ def main() -> None:
     repeat_load["g2_refine_kg"] = loads
     repeat_steal["g2_refine_kg"] = steals
 
+    # G1c: 20 PageRank power iterations over the same sf-derived KG
+    # edge graph — tracks the strided-checkpoint iteration schedule's
+    # cost (one contribution shuffle per round, 1 action per 5 rounds)
+    def _pagerank_kg():
+        from graphrag_kb_server_spark.operators.centrality import pagerank
+
+        m = entrymod._mentions_from_lineitem(spark, sf_dir).where(
+            F.col("chunk_id").substr(-1, 1).isin("0", "5")
+        )
+        return pagerank(build_edges(m))
+
+    runs, loads, steals = [], [], []
+    for _ in range(repeats):
+        loads.append(_loadavg1())
+        ja = _cpu_jiffies()
+        t1 = time.time()
+        _noop_write(_pagerank_kg())
+        runs.append(time.time() - t1)
+        steals.append(_steal_between(ja, _cpu_jiffies()))
+    repeat_times["g1_pagerank_kg"] = runs
+    repeat_load["g1_pagerank_kg"] = loads
+    repeat_steal["g1_pagerank_kg"] = steals
+
     # Composed curation funnel over the SAME web corpus the indexing
     # headline uses: C4 lines → repetition → quality → lang-ID → PII →
     # exact dedup, one scan + one exchange (plans/curation_pipeline).

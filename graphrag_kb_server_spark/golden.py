@@ -1262,3 +1262,54 @@ def golden_curation(
         ]
     )
     return pd.DataFrame(kept_rows), stats
+
+
+# ---------------------------------------------------------------------------
+# g1_pagerank twin — power iteration over the deterministic synthetic
+# digraph (operators/centrality.pagerank)
+# ---------------------------------------------------------------------------
+
+def synth_digraph_edges(n: int) -> list[tuple[int, int]]:
+    """Deterministic directed test graph: node i → (2i+1) mod n and
+    (3i+7) mod n, hubs (i ≡ 0 mod 7) also → 0; every i ≡ 0 mod 11 is
+    DANGLING (no out-edges); self-loops dropped, duplicates collapsed.
+    The Spark entry (``g1_pagerank``) builds the identical edge list
+    with Catalyst expressions — keep in lockstep."""
+    edges = set()
+    for i in range(n):
+        if i % 11 == 0:
+            continue
+        tgts = [(2 * i + 1) % n, (3 * i + 7) % n]
+        if i % 7 == 0:
+            tgts.append(0)
+        for t in tgts:
+            if t != i:
+                edges.add((i, t))
+    return sorted(edges)
+
+
+def golden_pagerank(
+    n: int, damping: float = 0.85, iterations: int = 20
+) -> pd.DataFrame:
+    """Sequential power iteration with teleport + dangling-mass
+    redistribution — independent twin of ``pagerank`` (float64, same
+    update rule; summation order differs, rounding to 6 absorbs it)."""
+    out: dict[int, list[int]] = {i: [] for i in range(n)}
+    for s, t in synth_digraph_edges(n):
+        out[s].append(t)
+    ranks = [1.0 / n] * n
+    for _ in range(iterations):
+        dm = sum(ranks[i] for i in range(n) if not out[i])
+        contrib = [0.0] * n
+        for i in range(n):
+            if out[i]:
+                share = ranks[i] / len(out[i])
+                for t in out[i]:
+                    contrib[t] += share
+        ranks = [
+            (1.0 - damping) / n + damping * (contrib[v] + dm / n)
+            for v in range(n)
+        ]
+    return pd.DataFrame(
+        {"node": list(range(n)), "pr": [_round6(r) for r in ranks]}
+    )

@@ -223,3 +223,164 @@ def centrality_table(nodes: DataFrame, centrality: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("centrality"), "entity_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "tgt",
+    damping: float = 0.85,
+    iterations: int = 20,
+    weight: str | None = None,
+    driver_edge_threshold: int = 200_000,
+) -> DataFrame:
+    """Directed PageRank (Page et al. 1999) with uniform teleport and
+    dangling-mass redistribution — the web-graph companion to the
+    reference's betweenness ranking (same consumer shape: a
+    ``(name, centrality)`` frame, sorted desc).
+
+    ``nodes`` (optional, one ``name`` column) pins the vertex set so
+    isolated pages keep their teleport share; default = distinct edge
+    endpoints. ``weight`` makes contributions proportional to edge
+    weight instead of 1/out_degree.
+
+    Returns ``(name, rank)`` with ``sum(rank) = 1``; fixed iteration
+    count for determinism (20 ≈ the classic convergence budget at
+    d = 0.85).
+
+    Shape at 100 TB: per iteration ONE shuffle — the contribution sum
+    keyed on the destination (partial-aggregated; a 10^9-in-degree hub
+    combines map-side). The rank⋈edges join keys both sides on the
+    SOURCE (ranks re-partition once; edges stay put via the eager
+    checkpoint), the dangling mass is a 1-ROW aggregate broadcast back
+    in (no per-round driver collect), and lazy localCheckpoints keep
+    the logical plan linear with one driver action per
+    ``_PR_STRIDE`` rounds — the betweenness/LPA schedule.
+
+    Size-adaptive (the LPA/components guard): at or below
+    ``driver_edge_threshold`` normalized edges the graph is per-round-
+    scheduling-bound, so the iteration runs driver-side over one Arrow
+    collect — the SAME update rule on float64, summation order differs
+    by at most the usual 1e-15 float reassociation (callers round
+    ranks for comparison anyway). Set the threshold to 0 to force the
+    distributed rounds (kept continuously oracled by
+    ``g1_pagerank_distributed``).
+    """
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_t"), w.alias("_w")
+    )
+    if nodes is None:
+        all_nodes = (
+            e.select(F.col("_s").alias("name"))
+            .unionByName(e.select(F.col("_t").alias("name")))
+            .distinct()
+        )
+    else:
+        all_nodes = nodes.select("name").distinct()
+    # out-normalized edges: contribution fraction per (src, dst)
+    out_tot = e.groupBy("_s").agg(F.sum("_w").alias("_tot"))
+    frac = (
+        e.join(out_tot, "_s")
+        .select("_s", "_t", (F.col("_w") / F.col("_tot")).alias("_f"))
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = all_nodes.localCheckpoint(eager=True)
+    n = all_nodes.count()
+    if n == 0:
+        return all_nodes.select(
+            F.col("name"), F.lit(0.0).alias("rank")
+        )
+    # dangling = nodes with no out-edge (weight-sum 0 counts as none)
+    dangling = all_nodes.join(
+        frac.select(F.col("_s").alias("name")).distinct(),
+        "name",
+        "left_anti",
+    ).localCheckpoint(eager=True)
+
+    n_edges = frac.count()
+    if n_edges <= driver_edge_threshold:
+        return _pagerank_driver(
+            edges.sparkSession, all_nodes, frac, damping, iterations, n
+        )
+
+    ranks = all_nodes.select(
+        "name", (F.lit(1.0) / F.lit(float(n))).alias("rank")
+    ).localCheckpoint(eager=False)
+
+    _PR_STRIDE = 5
+    base = (1.0 - damping) / n
+    for it in range(iterations):
+        dm = (
+            ranks.join(dangling, "name", "left_semi")
+            .groupBy()
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        contrib = (
+            ranks.withColumnRenamed("name", "_s")
+            .join(frac, "_s")
+            .groupBy(F.col("_t").alias("name"))
+            .agg(F.sum(F.col("rank") * F.col("_f")).alias("_c"))
+        )
+        ranks = (
+            all_nodes.join(contrib, "name", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "name",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        ).localCheckpoint(eager=False)
+        if (it + 1) % _PR_STRIDE == 0 and it + 1 < iterations:
+            ranks.count()  # materialize the lazy-checkpoint group
+    return ranks.orderBy(F.desc("rank"), "name")
+
+
+def _pagerank_driver(
+    spark, all_nodes: DataFrame, frac: DataFrame,
+    damping: float, iterations: int, n: int,
+) -> DataFrame:
+    """Collected power iteration for sub-threshold graphs — same
+    update rule as the distributed rounds, numpy scatter-add instead
+    of a shuffle. Preserves the caller's name dtype by building the
+    result on the collected nodes frame's own schema."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    nodes_pd = all_nodes.toPandas()  # Arrow batch transfer
+    names = nodes_pd["name"].tolist()
+    idx = {v: i for i, v in enumerate(names)}
+    e_pd = frac.toPandas()
+    s = np.fromiter((idx[v] for v in e_pd["_s"].tolist()), dtype=np.int64,
+                    count=len(e_pd))
+    t = np.fromiter((idx[v] for v in e_pd["_t"].tolist()), dtype=np.int64,
+                    count=len(e_pd))
+    f = e_pd["_f"].to_numpy(dtype=np.float64)
+    has_out = np.zeros(n, dtype=bool)
+    has_out[s] = True
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        dm = float(ranks[~has_out].sum())
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, t, ranks[s] * f)
+        ranks = base + damping * (contrib + dm / n)
+    nodes_pd = nodes_pd.assign(rank=ranks)
+    schema = T.StructType(
+        list(all_nodes.schema.fields)
+        + [T.StructField("rank", T.DoubleType(), False)]
+    )
+    return spark.createDataFrame(nodes_pd, schema=schema).orderBy(
+        F.desc("rank"), "name"
+    )

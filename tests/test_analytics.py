@@ -188,3 +188,29 @@ def test_panther_similarity(spark):
     names = [r["name"] for r in out.collect()]
     assert len(names) > 0
     assert set(names) <= {"b", "c", "d", "e"}
+
+
+def test_pagerank_properties_and_weights(spark):
+    """Ranks sum to 1 (dangling mass conserved), the in-link hub wins,
+    the golden twin agrees, and edge weights steer the mass."""
+    from graphrag_kb_server_spark.golden import golden_pagerank, synth_digraph_edges
+    from graphrag_kb_server_spark.operators.centrality import pagerank
+
+    n = 60
+    edges = spark.createDataFrame(
+        synth_digraph_edges(n), "src int, tgt int"
+    )
+    nodes = spark.range(n).select(F.col("id").cast("int").alias("name"))
+    got = {r["name"]: r["rank"] for r in pagerank(edges, nodes=nodes).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    want = dict(zip(golden_pagerank(n)["node"], golden_pagerank(n)["pr"]))
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+
+    # weights: b gets 9x a's share from s → must outrank it
+    w = spark.createDataFrame(
+        [("s", "a", 1.0), ("s", "b", 9.0), ("a", "s", 1.0), ("b", "s", 1.0)],
+        "src string, tgt string, w double",
+    )
+    wr = {r["name"]: r["rank"] for r in pagerank(w, weight="w").collect()}
+    assert wr["b"] > wr["a"]
+    assert abs(sum(wr.values()) - 1.0) < 1e-9
