@@ -1806,6 +1806,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["g1_pagerank_distributed"] = g1_pagerank_distributed
 
+    # ---- web host-link graph (operators/webgraph): reference URL
+    #      regex → domain collapse → weighted host edges → PageRank.
+    #      golden.synth_web_page builds the identical (url, text) pairs
+    #      in python; golden_host_graph/golden_host_pagerank re-derive
+    #      the whole composition sequentially (python re mirrors of the
+    #      Spark regexps), pinned as VALUES.
+    def _synth_web_pages(spark, n=300):
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://Site"), (d % 13).cast("string"),
+            F.lit(".example.com/p/"), d.cast("string"),
+        )
+        lines = [
+            F.concat(
+                F.lit("Read https://site"), ((2 * d + 1) % 13).cast("string"),
+                F.lit(".example.com/a/"), (d % 7).cast("string"), F.lit("."),
+            ),
+            F.concat(
+                F.lit("Also http://site"), ((3 * d + 7) % 13).cast("string"),
+                F.lit(".example.com/b?q="), (d % 5).cast("string"), F.lit(","),
+            ),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit("Hub list: https://hub.example.net/l/"),
+                    (d % 4).cast("string"),
+                    F.lit("] and https://hub.example.net/l/"),
+                    (d % 4).cast("string"),
+                ),
+            ),
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit("Self link https://site"), (d % 13).cast("string"),
+                    F.lit(".example.com/self"),
+                ),
+            ),
+            F.when(d % 6 == 0, F.lit("Mail user@site1.example.com has no scheme.")),
+        ]
+        return spark.range(n).select(
+            F.col("id").cast("int").alias("doc_id")
+        ).select(
+            "doc_id", url.alias("url"), F.concat_ws("\n", *lines).alias("text")
+        )
+
+    def web_host_graph(spark, sf):
+        from graphrag_kb_server_spark.operators.webgraph import host_graph
+
+        return host_graph(_synth_web_pages(spark))
+    q["web_host_graph"] = web_host_graph
+
+    def web_host_pagerank(spark, sf):
+        from graphrag_kb_server_spark.operators.webgraph import host_pagerank
+
+        pr = host_pagerank(_synth_web_pages(spark))
+        return pr.select(
+            F.col("name").alias("host"), F.round("rank", 6).alias("pr")
+        )
+    q["web_host_pagerank"] = web_host_pagerank
+
     # ---- G2b: Louvain-style modularity refinement over LPA. The
     #      planted-block benchmark graph makes every phase bite (LPA
     #      over-fragments; merges recover blocks; local moves fix 26
@@ -1887,6 +1947,8 @@ _WINDOW_FIRST = [
     # newest in r5 (pagerank, hot n-gram boilerplate mining, funnel)
     "g1_pagerank",
     "g1_pagerank_distributed",
+    "web_host_graph",
+    "web_host_pagerank",
     "cur_hot_ngrams",
     "cur_boilerplate_frac",
     "cur_pipeline",
@@ -2005,6 +2067,14 @@ def _golden_kg_oracles() -> dict[str, str]:
         {"node": "INT", "pr": "DOUBLE"},
     )
     out["g1_pagerank_distributed"] = out["g1_pagerank"]
+    out["web_host_graph"] = _values_oracle(
+        golden.golden_host_graph(300),
+        {"src_host": "VARCHAR", "dst_host": "VARCHAR", "weight": "BIGINT"},
+    )
+    out["web_host_pagerank"] = _values_oracle(
+        golden.golden_host_pagerank(300),
+        {"host": "VARCHAR", "pr": "DOUBLE"},
+    )
     _cur_kept, _cur_stats = golden.golden_curation(200)
     out["cur_pipeline"] = _values_oracle(
         _cur_kept,

@@ -1313,3 +1313,92 @@ def golden_pagerank(
     return pd.DataFrame(
         {"node": list(range(n)), "pr": [_round6(r) for r in ranks]}
     )
+
+
+# ---------------------------------------------------------------------------
+# web host graph twins — link-extraction → domain → weighted pagerank
+# (operators/webgraph.py), over deterministic synthetic pages
+# ---------------------------------------------------------------------------
+
+#: the reference's URL regex (textstats.extract_links) and the domain
+#: regex (sampling.url_domain), python-mirrored
+_WG_URL_RE = re.compile(r'(https?://[^\s<>"{}|\\^`\[\]]+)')
+_WG_TRAIL_RE = re.compile(r"[.;)\],]+$")
+_WG_HOST_RE = re.compile(r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)")
+
+
+def synth_web_page(d: int) -> tuple[str, str]:
+    """Deterministic (page_url, body_text) for doc ``d`` — exercises
+    trailing-punctuation stripping, in-page duplicate-URL collapse,
+    self-host-link dropping and host lowercasing. The Spark entry
+    (``web_host_graph``) builds the identical strings with Catalyst
+    expressions; keep in lockstep."""
+    url = f"https://Site{d % 13}.example.com/p/{d}"
+    lines = [
+        f"Read https://site{(2 * d + 1) % 13}.example.com/a/{d % 7}.",
+        f"Also http://site{(3 * d + 7) % 13}.example.com/b?q={d % 5},",
+    ]
+    if d % 3 == 0:
+        # bracket ends the URL; the duplicate collapses in-page
+        lines.append(
+            f"Hub list: https://hub.example.net/l/{d % 4}] and"
+            f" https://hub.example.net/l/{d % 4}"
+        )
+    if d % 4 == 0:
+        lines.append(f"Self link https://site{d % 13}.example.com/self")
+    if d % 6 == 0:
+        lines.append("Mail user@site1.example.com has no scheme.")
+    return url, "\n".join(lines)
+
+
+def _host(u: str) -> str:
+    m = _WG_HOST_RE.match(u)
+    return m.group(1).lower() if m else ""
+
+
+def golden_host_edges(n_docs: int) -> dict[tuple[str, str], int]:
+    """(src_host, dst_host) → weight, the twin of webgraph.host_graph."""
+    edges: dict[tuple[str, str], int] = {}
+    for d in range(n_docs):
+        url, text = synth_web_page(d)
+        src = _host(url)
+        urls = [_WG_TRAIL_RE.sub("", u) for u in _WG_URL_RE.findall(text)]
+        for u in dict.fromkeys(urls):  # in-page distinct
+            dst = _host(u)
+            if dst != src:
+                edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    return edges
+
+
+def golden_host_graph(n_docs: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {"src_host": s, "dst_host": t, "weight": w}
+            for (s, t), w in sorted(golden_host_edges(n_docs).items())
+        ]
+    )
+
+
+def golden_host_pagerank(
+    n_docs: int, damping: float = 0.85, iterations: int = 20
+) -> pd.DataFrame:
+    """Weighted sequential power iteration over the twin host graph."""
+    edges = golden_host_edges(n_docs)
+    hosts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(hosts)
+    out_tot: dict[str, float] = {h: 0.0 for h in hosts}
+    for (s, _), w in edges.items():
+        out_tot[s] += w
+    ranks = {h: 1.0 / n for h in hosts}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        dm = sum(ranks[h] for h in hosts if out_tot[h] == 0.0)
+        contrib = {h: 0.0 for h in hosts}
+        for (s, t), w in sorted(edges.items()):
+            contrib[t] += ranks[s] * w / out_tot[s]
+        ranks = {
+            h: base + damping * (contrib[h] + dm / n) for h in hosts
+        }
+    return pd.DataFrame(
+        {"host": hosts, "pr": [_round6(ranks[h]) for h in hosts]}
+    )

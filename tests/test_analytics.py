@@ -214,3 +214,30 @@ def test_pagerank_properties_and_weights(spark):
     wr = {r["name"]: r["rank"] for r in pagerank(w, weight="w").collect()}
     assert wr["b"] > wr["a"]
     assert abs(sum(wr.values()) - 1.0) < 1e-9
+
+
+def test_host_graph_semantics(spark):
+    """In-page duplicate URLs collapse to weight 1, trailing
+    punctuation is stripped, intra-host links are dropped, hosts
+    lowercase."""
+    from graphrag_kb_server_spark.operators.webgraph import host_graph
+
+    pages = spark.createDataFrame(
+        [
+            ("https://A.example.com/p1",
+             "See https://b.example.com/x, and https://b.example.com/x "
+             "again plus https://A.example.com/self and http://c.org/y."),
+            ("https://a.example.com/p2", "Also https://b.example.com/z"),
+        ],
+        "url string, text string",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_graph(pages).collect()
+    }
+    # page 1: b.example.com once (dup collapsed), c.org once, self dropped
+    # page 2: b.example.com once more
+    assert got == {
+        ("a.example.com", "b.example.com"): 2,
+        ("a.example.com", "c.org"): 1,
+    }
