@@ -1660,6 +1660,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cur_boilerplate_frac"] = cur_boilerplate_frac
 
+    def text_tfidf_topk(spark, sf):
+        from graphrag_kb_server_spark.operators.textstats import (
+            tfidf_top_terms,
+        )
+
+        return tfidf_top_terms(_t(spark, sf, "documents"), "doc_id", "text",
+                               k=3)
+    q["text_tfidf_topk"] = text_tfidf_topk
+
     # ---- composed curation funnel (plans/curation_pipeline): C4 →
     #      repetition → quality → PII → exact dedup in ONE pass (one
     #      exchange total). Inputs are deterministic synthetic pages
@@ -1951,6 +1960,7 @@ _WINDOW_FIRST = [
     "web_host_pagerank",
     "cur_hot_ngrams",
     "cur_boilerplate_frac",
+    "text_tfidf_topk",
     "cur_pipeline",
     "cur_pipeline_stats",
     # new in r5 (BPE tokenizer induction, as-of join)
@@ -3619,6 +3629,32 @@ SELECT t.doc_id,
   round(coalesce(hot_ngrams, 0) / greatest(coalesce(n_ngrams, 0), 1), 6)
     AS boilerplate_frac
 FROM tok t LEFT JOIN agg USING (doc_id)
+"""
+    o["text_tfidf_topk"] = """
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> length(x) >= 2) AS ts
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS term FROM tok)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+    round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, term_rank FROM rk WHERE term_rank <= 3
 """
     o["cur_paragraph_dedup"] = """
 WITH s AS (

@@ -293,3 +293,75 @@ def extract_links(text_col: Column) -> Column:
     return F.array_distinct(
         F.transform(urls, lambda u: F.regexp_replace(u, r"[.;)\],]+$", ""))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_term_len: int = 2,
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf over the whole corpus —
+    the corpus-statistics keyword extractor (vs Q1's per-query regex
+    keywords). Tokens are lowercase ``[a-z0-9]`` runs (the tokenizer
+    shared with decontamination/hot-ngrams); smoothed idf =
+    ``ln((N+1)/(df+1)) + 1`` (scikit-learn's convention) so corpus-
+    universal terms still score, and ties break on the term string.
+
+    Returns ``(id, term, tf, df, tfidf, term_rank)``, ≤ k rows/doc.
+
+    Shape at 100 TB: term frequencies aggregate on (doc, term) with
+    map-side combine; document frequencies reuse those distinct pairs
+    (a second, term-keyed aggregation — never a count_distinct over
+    raw tokens); N rides in as a broadcast 1-row aggregate (no driver
+    action). The idf join keys both sides on the term — the df frame
+    is |vocabulary|-sized, typically broadcastable, but the plan
+    leaves that call to AQE. The final top-k window partitions by doc
+    id — bounded by each doc's distinct-term count, never corpus-wide.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_term_len,
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    docfreq = pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        pairs.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id", "term", "tf", "df",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                )
+            ).alias("_score"),
+        )
+    )
+    # rank on the ROUNDED score: Java's Math.log and other engines'
+    # ln() differ in the last ulp, so full-precision ordering is not
+    # portable across engines — 6 decimals is, and ties then break
+    # deterministically on the term string
+    scored = scored.withColumn("tfidf", F.round("_score", 6))
+    w = Window.partitionBy("id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "df", "tfidf",
+            "term_rank",
+        )
+    )

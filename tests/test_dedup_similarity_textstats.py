@@ -570,3 +570,38 @@ def test_language_id_web_scale_cascade(spark):
     ).collect()
     misses = [(r["expected"], r["got"]) for r in rows if r["expected"] != r["got"]]
     assert not misses, misses
+
+
+def test_tfidf_top_terms(spark):
+    """Rare terms outrank common ones; ties break on the term string;
+    k bounds rows per doc."""
+    from graphrag_kb_server_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "banana cherry common common"),
+            (3, "common words only common"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 1: apple (tf=2, df=1) is the clear winner over common (df=3)
+    top1 = sorted(by_doc[1], key=lambda r: r["term_rank"])
+    assert top1[0]["term"] == "apple"
+    assert (top1[0]["tf"], top1[0]["df"]) == (2, 1)
+    # doc 2: common wins on tf=2 (smoothed idf keeps universal terms
+    # alive — 2·(ln(4/4)+1)=2.0); cherry's rarity (df=1, 1.693) is 2nd
+    top2 = sorted(by_doc[2], key=lambda r: r["term_rank"])
+    assert [r["term"] for r in top2] == ["common", "cherry"]
+    # scores decrease with rank everywhere
+    for rows in by_doc.values():
+        rows = sorted(rows, key=lambda r: r["term_rank"])
+        assert all(
+            rows[i]["tfidf"] >= rows[i + 1]["tfidf"]
+            for i in range(len(rows) - 1)
+        )
