@@ -1388,6 +1388,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return domain_stats(urls, url_col="url", chars_col="n_chars")
     q["text_domain_stats"] = text_domain_stats
 
+    def text_lm_perplexity(spark, sf):
+        """CCNet-style add-k bigram-LM perplexity (operators/lm.py):
+        LM trained on the corpus itself (two count aggs), each doc
+        scored by mean -log p(w2|w1). The oracle is an independent
+        DuckDB implementation (list_zip bigrams + the same smoothing
+        arithmetic); nll rounded to 6 dp absorbs summation-order
+        ULPs."""
+        from graphrag_kb_server_spark.operators.lm import lm_perplexity
+
+        docs = _t(spark, sf, "documents")
+        return lm_perplexity(docs, "doc_id", "text", k=0.1)
+    q["text_lm_perplexity"] = text_lm_perplexity
+
+    def sample_temperature(spark, sf):
+        """Temperature mixture rebalancing (sampling.temperature_sample,
+        α=0.3): rates derived from the language histogram via p^α
+        flattening, rounded to 9 dp on both sides so libm/summation
+        ULPs cannot flip a threshold comparison. The oracle re-derives
+        the rate table in SQL from the same histogram."""
+        from graphrag_kb_server_spark.operators.sampling import (
+            temperature_sample,
+        )
+
+        docs = _t(spark, sf, "documents")
+        out = temperature_sample(
+            docs, "doc_id", "lang", alpha=0.3, target_fraction=0.4,
+            seed="11",
+        )
+        return out.select("doc_id", "lang")
+    q["sample_temperature"] = sample_temperature
+
+    def sample_domain_cap(spark, sf):
+        """Per-domain cap (operators/sampling.py:domain_cap): keep the
+        cap smallest (md5-hash, id) docs per domain. cap=3 over the
+        25-doc domains with margin=2.0 keeps the hash-prefilter branch
+        ACTIVE (threshold = 6/25 of hash space) — the oracle ranks all
+        rows directly, so it independently checks that prefilter +
+        fallback reproduce the exact contract."""
+        from graphrag_kb_server_spark.operators.sampling import domain_cap
+
+        docs = _t(spark, sf, "documents")
+        out = domain_cap(
+            docs, "doc_id", url_col="source", cap=3, seed="5", margin=2.0
+        )
+        return out.select("doc_id", "domain", "lang")
+    q["sample_domain_cap"] = sample_domain_cap
+
     def sample_pack_sequences(spark, sf):
         """Training-sequence packing (FFD inside hash buckets,
         applyInPandas) over the deterministic corpus; the oracle is the
@@ -1985,6 +2032,9 @@ _WINDOW_FIRST = [
     "sample_stratified",
     "sample_split_counts",
     "text_domain_stats",
+    "text_lm_perplexity",
+    "sample_temperature",
+    "sample_domain_cap",
     "sample_pack_sequences",
     # unwitnessed in r4 (VERDICT r4 item 2)
     "kg_ref_dwell1_degree",
@@ -3481,6 +3531,86 @@ WITH r AS (
 )
 SELECT split, lang, count(*) AS n_docs FROM r GROUP BY split, lang
 """
+    # independent bigram-LM implementation: DuckDB builds bigrams via
+    # list_zip of the two shifted slices (unnamed structs -> numeric
+    # extract), then mirrors the add-k smoothing arithmetic; nll/ppl
+    # rounded identically (6/4 dp) on both sides
+    o["text_lm_perplexity"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(l[:len(l)-1], l[2:])) AS p
+        FROM toks)
+),
+bc AS (SELECT w1, w2, count(*) AS c_bigram FROM pairs GROUP BY w1, w2),
+cc AS (SELECT w1, count(*) AS c_context FROM pairs GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS vv FROM cc),
+scored AS (
+  SELECT p.doc_id,
+         ln((coalesce(b.c_bigram, 0) + 0.1)
+            / (coalesce(c.c_context, 0) + 0.1 * v.vv)) AS logp
+  FROM pairs p
+  LEFT JOIN bc b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN cc c ON c.w1 = p.w1
+  CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 6) AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       p.nll,
+       round(exp(p.nll), 4) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # temperature rebalancing: the rate table re-derived in SQL from
+    # the language histogram (p^alpha / Z, capped at 1, x fraction*N/n),
+    # rounded to 9 dp exactly like the Spark side
+    o["sample_temperature"] = f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+),
+t AS (SELECT sum(n) AS tot FROM c),
+qx AS (SELECT lang, n, pow(n / tot, 0.3) AS q, tot FROM c, t),
+z AS (SELECT sum(q) AS zz FROM qx),
+r AS (
+  SELECT lang,
+         round(least(1.0, q / zz * 0.4 * tot / n), 9) AS rate
+  FROM qx, z
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE {_u.format(op='tsample', seed='11')} < r.rate
+"""
+
+    # exact contract: per domain, the cap smallest (hash, id) survive.
+    # The oracle ranks ALL rows (no prefilter) — an independent
+    # derivation of what the Spark side computes through the
+    # prefilter/fallback split. 'src*' sources have no scheme/path, so
+    # domain == lower(source) directly (regex extraction is separately
+    # oracled by text_domain_stats).
+    _h_dom = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || chr(31) "
+        "|| 'domcap' || chr(31) || '5'), 1, 8)) AS BIGINT)"
+    )
+    o["sample_domain_cap"] = f"""
+SELECT doc_id, domain, lang FROM (
+  SELECT doc_id, lower(source) AS domain, lang,
+         row_number() OVER (
+           PARTITION BY source ORDER BY {_h_dom}, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
     # domains recomputed from the bucket arithmetic directly — an
     # INDEPENDENT derivation of what the Spark side extracts from the
     # synthesized URLs via regex

@@ -1,0 +1,141 @@
+"""Statistical language-model scoring for corpus curation.
+
+The CCNet recipe (and every descendant: RedPajama, Dolma, FineWeb)
+filters web text by PERPLEXITY under a small LM trained on a trusted
+corpus — fluent text scores low, boilerplate/gibberish scores high.
+The reference server has no LM surface (its corpora are pre-curated);
+this module is part of the engine's training-data-pipeline extension,
+same family as operators/textstats.py quality scores.
+
+Spark-first shape — an n-gram LM is just two aggregations and a join:
+
+- **train**: bigram counts ``c(w1, w2)`` and context counts ``c(w1)``
+  are map-side-combined ``groupBy().count()`` passes over the exploded
+  token stream. Zipfian token skew is absorbed by partial aggregation
+  (each partition emits one row per key before the shuffle).
+- **score**: each document's bigrams re-join the count tables
+  (shuffle join on the bigram key; single hot keys are split by AQE
+  skew-join) and the per-document mean negative log-likelihood is one
+  final aggregation on the document id. Add-k smoothing:
+  ``p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)``.
+
+Everything stays in Catalyst (split/filter/slice/zip_with HOFs +
+joins); no Python runs per row. The per-document NLL is rounded to
+6 dp — the ~1e-12 summation-order ULP noise of a few hundred log
+terms can never flip a rounded value, which is what makes the score
+reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col) -> F.Column:
+    """Whitespace tokens of lowercased text, empties removed — the
+    shared LM tokenization (kept trivially mirrorable in SQL)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def _bigrams(toks) -> F.Column:
+    """Adjacent-pair structs via zip_with over the two shifted slices
+    (no index lambda: interpreted HOFs re-evaluate outer expressions
+    per element, and zip_with touches each slice element exactly
+    once)."""
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def _token_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram occurrence."""
+    return (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            _bigrams(tokens_col(F.col(text_col))).alias("_bg"),
+        )
+        .select("_id", F.explode("_bg").alias("b"))
+        .select("_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+
+
+def bigram_lm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Train: (w1, w2, c_bigram, c_context) — the sufficient statistic
+    of an add-k bigram LM, as a DataFrame (the model IS a table; at
+    100 TB it lives in parquet, not driver memory)."""
+    bg = _token_stream(docs, id_col, text_col)
+    bigram_c = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_bigram")
+    )
+    context_c = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_context"))
+    return bigram_c.join(context_c, "w1")
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame | None = None,
+    k: float = 0.1,
+) -> DataFrame:
+    """Per-document perplexity under an add-k bigram LM.
+
+    ``model`` defaults to an LM trained on ``docs`` itself (the
+    self-scoring mode used for outlier detection); pass a ``bigram_lm``
+    frame trained on a trusted corpus for the CCNet filtering mode —
+    then unseen bigrams/contexts fall back to the smoothing floor via
+    the left joins' coalesce(0).
+
+    Returns (id, n_bigrams, nll, ppl): nll = mean −log p(w2|w1)
+    rounded to 6 dp, ppl = exp(nll) rounded to 4 dp. Documents with
+    fewer than two tokens carry n_bigrams = 0 and NULL scores.
+    """
+    if model is None:
+        model = bigram_lm(docs, id_col, text_col)
+
+    # vocabulary size = distinct context types — one scalar, derived
+    # from the model table itself so train/score stay consistent
+    vocab = model.select("w1").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("_v")
+    )
+
+    # context counts join on w1 alone: an unseen bigram with a SEEN
+    # context must still use c(w1), not the smoothing floor
+    contexts = model.select("w1", "c_context").distinct()
+
+    bg = _token_stream(docs, id_col, text_col)
+    scored = (
+        bg.join(model.select("w1", "w2", "c_bigram"), ["w1", "w2"], "left")
+        .join(contexts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_id",
+            F.log(
+                (F.coalesce(F.col("c_bigram"), F.lit(0)) + F.lit(float(k)))
+                / (F.coalesce(F.col("c_context"), F.lit(0))
+                   + F.lit(float(k)) * F.col("_v"))
+            ).alias("_logp"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("_logp"), 6).alias("nll"),
+    )
+    # left join back so token-poor documents are reported, not dropped
+    ids = docs.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        ids.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "nll",
+            F.round(F.exp("nll"), 4).alias("ppl"),
+        )
+    )

@@ -197,6 +197,151 @@ def pack_sequences(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    alpha: float = 0.3,
+    target_fraction: float = 0.5,
+    seed: str = "42",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual
+    α-sampling rule: draw strata with probability ∝ p^α, flattening a
+    Zipfian language/domain distribution so head strata stop dominating
+    and tail strata are upsampled to their cap).
+
+    With stratum shares p_l = n_l/N, the target mixture is
+    q_l = p_l^α / Σ p^α and each stratum's inclusion rate is
+    ``min(1, q_l · target_fraction · N / n_l)`` — expected output size
+    ≈ target_fraction · N (less the mass clipped at rate 1 for tiny
+    strata, the standard cap: a stratum cannot be sampled above 100 %
+    without duplication).
+
+    Everything stays lazy and scale-shaped: the stratum histogram is
+    one map-side-combined aggregation (rows = #strata, not #docs), the
+    rate table is derived from it with two single-row cross joins and
+    broadcast back, and the selection itself is the same row-local
+    hash threshold every op here uses. Rates are rounded to 9 dp so
+    both engines' libm/summation ULP differences vanish while the
+    threshold comparison stays far above the hash granularity (2^-32).
+    """
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    total = counts.agg(F.sum("_n").alias("_tot"))
+    spec = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_q", F.pow(F.col("_n") / F.col("_tot"), F.lit(float(alpha))))
+    )
+    z = spec.agg(F.sum("_q").alias("_z"))
+    rates = spec.crossJoin(F.broadcast(z)).select(
+        stratum_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("_q") / F.col("_z") * F.lit(float(target_fraction))
+                * F.col("_tot") / F.col("_n"),
+            ),
+            9,
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .where(
+            _unit_hash(F.col(id_col), _op_seed("tsample", seed))
+            < F.col("_rate")
+        )
+        .drop("_rate")
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    id_col: str,
+    url_col: str = "source",
+    cap: int = 100,
+    seed: str = "42",
+    margin: float = 8.0,
+    domain_col: str | None = None,
+) -> DataFrame:
+    """Per-domain cap: keep at most ``cap`` documents per domain — the
+    Common-Crawl-style curation pass that stops a single mega-host from
+    dominating the training mixture.
+
+    The semantic contract is exact and deterministic: per domain, the
+    ``cap`` documents with the SMALLEST (md5-hash, id) survive — a
+    uniform random-but-stable choice, identical across reruns, engines
+    and partitionings.
+
+    Scale design (the naive ``row_number() OVER (PARTITION BY domain)``
+    makes the biggest domain one giant sort task):
+
+    - **small domains never shuffle**: one map-side-combined count
+      aggregation finds the oversized domains; everything else passes
+      through via a broadcast anti-join (#oversized ≤ corpus/cap, so
+      the broadcast is bounded by construction).
+    - **oversized domains are hash-prefiltered before ranking**: only
+      rows with hash < ``margin·cap/n`` of the hash space enter the
+      window sort, so the expected sort input per domain is
+      ``margin·cap`` rows — independent of the domain's size. The cap
+      smallest hashes are inside the prefilter whenever it kept ≥ cap
+      rows, so the result is still exact.
+    - **a lazy fallback branch restores exactness** for the
+      vanishingly-rare domains where the prefilter kept < cap rows
+      (P ≈ Chernoff(e^{-Θ(margin·cap)}); for cap=1, ~e^{-margin}):
+      those domains alone are re-ranked without the prefilter. The
+      branch is planned but empty in the common case.
+
+    Returns the surviving rows with an added ``domain`` column.
+    """
+    from pyspark.sql import Window
+
+    dom = (
+        F.col(domain_col) if domain_col is not None
+        else url_domain(F.col(url_col))
+    )
+    d = docs.withColumn("domain", dom).withColumn(
+        "_h", _int_hash(F.col(id_col), _op_seed("domcap", seed))
+    )
+    counts = d.groupBy("domain").agg(F.count(F.lit(1)).alias("_n"))
+    over = counts.where(F.col("_n") > cap)
+
+    keep_small = d.join(
+        F.broadcast(over.select("domain")), "domain", "left_anti"
+    )
+
+    big = d.join(F.broadcast(over), "domain", "inner")
+    # threshold on the raw 32-bit hash; >= 2^32 means "no prefilter"
+    thresh = F.least(
+        F.lit(_HASH_SPACE),
+        F.ceil(F.lit(float(margin) * cap) / F.col("_n") * F.lit(_HASH_SPACE)),
+    )
+    pre = big.where(F.col("_h") < thresh)
+
+    pre_counts = pre.groupBy("domain").agg(F.count(F.lit(1)).alias("_npre"))
+    ok_doms = pre_counts.where(F.col("_npre") >= cap).select("domain")
+    fail_doms = over.select("domain").join(ok_doms, "domain", "left_anti")
+
+    w = Window.partitionBy("domain").orderBy(F.col("_h"), F.col(id_col))
+    ranked_pre = (
+        pre.join(F.broadcast(ok_doms), "domain", "inner")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+    )
+    ranked_fallback = (
+        big.join(F.broadcast(fail_doms), "domain", "inner")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+    )
+
+    drop = ["_h", "_n", "_npre", "_rn"]
+    return (
+        keep_small.drop(*drop)
+        .unionByName(ranked_pre.drop(*drop))
+        .unionByName(ranked_fallback.drop(*drop))
+    )
+
+
 def url_domain(url_col) -> F.Column:
     """Registrable host of a URL (scheme/userinfo/port/path stripped),
     lowercased. Pure regexp — stays in codegen."""

@@ -1,0 +1,82 @@
+"""Bigram-LM perplexity scoring (operators/lm.py): hand-computed
+probabilities, transfer-mode smoothing fallbacks, short-doc handling,
+and the fluent-vs-shuffled ranking property."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from graphrag_kb_server_spark.operators.lm import (
+    bigram_lm,
+    lm_perplexity,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_bigram_lm_counts(spark):
+    docs = _df(spark, [("a", "the cat sat"), ("b", "the cat ran")])
+    m = {(r.w1, r.w2): (r.c_bigram, r.c_context)
+         for r in bigram_lm(docs, "doc_id", "text").collect()}
+    # bigrams: (the,cat) x2, (cat,sat), (cat,ran)
+    assert m[("the", "cat")] == (2, 2)
+    assert m[("cat", "sat")] == (1, 2)
+    assert m[("cat", "ran")] == (1, 2)
+    assert len(m) == 3
+
+
+def test_lm_perplexity_hand_computed(spark):
+    docs = _df(spark, [("a", "the cat sat"), ("b", "the cat ran")])
+    out = {r.doc_id: r for r in
+           lm_perplexity(docs, "doc_id", "text", k=0.5).collect()}
+    # vocab = distinct contexts {the, cat} -> V = 2
+    p_the_cat = (2 + 0.5) / (2 + 0.5 * 2)
+    p_cat_sat = (1 + 0.5) / (2 + 0.5 * 2)
+    nll = -(math.log(p_the_cat) + math.log(p_cat_sat)) / 2
+    assert out["a"].n_bigrams == 2
+    assert abs(out["a"].nll - round(nll, 6)) < 1e-9
+    assert abs(out["a"].ppl - round(math.exp(round(nll, 6)), 4)) < 1e-9
+    assert out["a"].nll == out["b"].nll  # symmetric corpus
+
+
+def test_lm_transfer_mode_unseen_fallbacks(spark):
+    """Unseen bigram with a seen context uses c(w1); a fully unseen
+    context hits the smoothing floor k/(kV)."""
+    train = _df(spark, [("t", "the cat sat the cat ran")])
+    model = bigram_lm(train, "doc_id", "text")
+    test = _df(spark, [("x", "the dog"), ("y", "zebra quux")])
+    out = {r.doc_id: r for r in
+           lm_perplexity(test, "doc_id", "text", model=model, k=0.5)
+           .collect()}
+    # train contexts: the(x2), cat(x2), sat(x1) -> V = 3
+    p_the_dog = 0.5 / (2 + 0.5 * 3)        # seen context, unseen pair
+    p_floor = 0.5 / (0 + 0.5 * 3)          # unseen context
+    assert abs(out["x"].nll - round(-math.log(p_the_dog), 6)) < 1e-9
+    assert abs(out["y"].nll - round(-math.log(p_floor), 6)) < 1e-9
+
+
+def test_lm_short_docs_reported_null(spark):
+    docs = _df(spark, [("a", "one"), ("b", ""), ("c", "two words")])
+    out = {r.doc_id: r for r in
+           lm_perplexity(docs, "doc_id", "text").collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"].n_bigrams == 0 and out["a"].nll is None
+    assert out["b"].n_bigrams == 0 and out["b"].ppl is None
+    assert out["c"].n_bigrams == 1
+
+
+def test_lm_fluent_beats_shuffled(spark):
+    """The curation property: natural repetition of common bigrams
+    scores lower perplexity than the same unigrams in a rare order."""
+    base = "the cat sat on the mat and the cat ran to the mat"
+    docs = _df(spark, [
+        ("f1", base), ("f2", base), ("f3", base),
+        ("g", "mat the to cat on sat ran the and mat cat the the"),
+    ])
+    out = {r.doc_id: r.ppl for r in
+           lm_perplexity(docs, "doc_id", "text").collect()}
+    assert out["f1"] < out["g"]

@@ -176,3 +176,135 @@ def test_domain_stats(spark):
     assert rows["a.com"]["total_chars"] == 400
     assert rows["a.com"]["mean_chars"] == 200.0
     assert rows["b.org"]["n_docs"] == 1
+
+
+def _brute_cap(rows, cap):
+    """Reference semantics: per domain, the cap smallest (hash, id)."""
+    import hashlib
+    from collections import defaultdict
+
+    by_dom = defaultdict(list)
+    for doc_id, dom in rows:
+        payload = f"{doc_id}\x1fdomcap\x1f7".encode()
+        h = int(hashlib.md5(payload).hexdigest()[:8], 16)
+        by_dom[dom].append((h, doc_id))
+    keep = set()
+    for dom, items in by_dom.items():
+        for _, doc_id in sorted(items)[:cap]:
+            keep.add((doc_id, dom))
+    return keep
+
+
+def _cap_input(spark):
+    # one mega-domain (600 rows), one mid (40), several small (<= cap)
+    return spark.range(700).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 600, F.lit("mega.com"))
+        .when(F.col("id") < 640, F.lit("mid.org"))
+        .otherwise(
+            F.concat(F.lit("tiny"), (F.col("id") % 5).cast("string"),
+                     F.lit(".net"))
+        ).alias("source"),
+    )
+
+
+def test_domain_cap_exact_and_passthrough(spark):
+    from graphrag_kb_server_spark.operators.sampling import domain_cap
+
+    docs = _cap_input(spark)
+    out = domain_cap(docs, "doc_id", url_col="source", cap=25, seed="7",
+                     margin=4.0)
+    got = {(r.doc_id, r.domain) for r in out.collect()}
+    want = _brute_cap(
+        [(r.doc_id, r.source) for r in docs.collect()], cap=25
+    )
+    assert got == want
+    # small domains pass through untouched (12 docs each < cap)
+    per_dom = {r.domain: r.n for r in
+               out.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    assert per_dom["mega.com"] == 25 and per_dom["mid.org"] == 25
+    for d, n in per_dom.items():
+        if d.startswith("tiny"):
+            assert n == 12
+
+
+def test_domain_cap_fallback_branch_is_exact(spark):
+    """margin=0.05 makes the prefilter keep ~1-2 rows per oversized
+    domain (< cap) — the fallback re-rank must restore exactness."""
+    from graphrag_kb_server_spark.operators.sampling import domain_cap
+
+    docs = _cap_input(spark)
+    out = domain_cap(docs, "doc_id", url_col="source", cap=25, seed="7",
+                     margin=0.05)
+    got = {(r.doc_id, r.domain) for r in out.collect()}
+    want = _brute_cap(
+        [(r.doc_id, r.source) for r in docs.collect()], cap=25
+    )
+    assert got == want
+
+
+def test_domain_cap_deterministic_across_partitionings(spark):
+    from graphrag_kb_server_spark.operators.sampling import domain_cap
+
+    docs = _cap_input(spark)
+    a = domain_cap(docs.repartition(1), "doc_id", cap=10, seed="3")
+    b = domain_cap(docs.repartition(13), "doc_id", cap=10, seed="3")
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """alpha<1 must upsample tail strata and downsample the head; the
+    realized rates must match the analytic q_l formula."""
+    import math
+
+    from graphrag_kb_server_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    # Zipf-ish: en 3200, es 640, zh 128, de 32
+    sizes = {"en": 3200, "es": 640, "zh": 128, "de": 32}
+    parts = []
+    off = 0
+    for lang, n in sizes.items():
+        parts.append(
+            spark.range(off, off + n).select(
+                F.col("id").alias("doc_id"), F.lit(lang).alias("lang")
+            )
+        )
+        off += n
+    docs = parts[0]
+    for p in parts[1:]:
+        docs = docs.unionByName(p)
+
+    alpha, frac = 0.3, 0.25
+    out = temperature_sample(docs, "doc_id", "lang", alpha=alpha,
+                             target_fraction=frac, seed="11")
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    N = sum(sizes.values())
+    zsum = sum((n / N) ** alpha for n in sizes.values())
+    for lang, n in sizes.items():
+        rate = min(1.0, (n / N) ** alpha / zsum * frac * N / n)
+        expect = rate * n
+        sd = math.sqrt(n * rate * (1 - rate)) if rate < 1 else 0.0
+        assert abs(got.get(lang, 0) - expect) <= max(5 * sd, 2), (
+            lang, got.get(lang, 0), expect)
+    # head rate < tail rate (flattening), and tiny stratum clips at 1.0
+    n_en, n_de = got["en"], got.get("de", 0)
+    assert n_en / sizes["en"] < n_de / sizes["de"]
+    rate_de = min(1.0, (sizes["de"] / N) ** alpha / zsum * frac
+                  * N / sizes["de"])
+    assert rate_de == 1.0 and n_de == sizes["de"]
+
+
+def test_temperature_sample_deterministic(spark):
+    from graphrag_kb_server_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = _docs(spark, 1000)
+    a = temperature_sample(docs, "doc_id", "lang", seed="2")
+    b = temperature_sample(docs.repartition(7), "doc_id", "lang", seed="2")
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
