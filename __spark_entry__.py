@@ -1388,6 +1388,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return domain_stats(urls, url_col="url", chars_col="n_chars")
     q["text_domain_stats"] = text_domain_stats
 
+    def cluster_kmeans(spark, sf):
+        """Distributed Lloyd's k-means (operators/clustering.py):
+        broadcast-centroid assignment + per-dim avg refit, k=8 x 3
+        iterations over the 64-dim embeddings. The oracle is the SAME
+        algorithm unrolled in pure DuckDB SQL (materialized CTE per
+        iteration); the 6-dp centroid/distance rounding protocol with
+        cluster-id tie-breaks makes the two engines bit-comparable."""
+        from graphrag_kb_server_spark.operators.clustering import kmeans
+
+        emb = _t(spark, sf, "embeddings")
+        out, _ = kmeans(emb, "vec_id", "embedding", k=8, iters=3)
+        return out
+    q["cluster_kmeans"] = cluster_kmeans
+
+    def dedup_semantic_pairs(spark, sf):
+        """SemDeDup composition: cosine >= 0.4 pairs WITHIN a k-means
+        cluster (the cluster equi-join bounds candidates to sum n_c^2,
+        never N^2). Oracle: the unrolled-SQL k-means assignment joined
+        to itself with the same sequential-fold cosine."""
+        from graphrag_kb_server_spark.operators.clustering import (
+            semantic_dedup_pairs,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        return semantic_dedup_pairs(
+            emb, "vec_id", "embedding", k=8, iters=3, threshold=0.4
+        )
+    q["dedup_semantic_pairs"] = dedup_semantic_pairs
+
     def text_lm_perplexity(spark, sf):
         """CCNet-style add-k bigram-LM perplexity (operators/lm.py):
         LM trained on the corpus itself (two count aggs), each doc
@@ -2032,6 +2061,8 @@ _WINDOW_FIRST = [
     "sample_stratified",
     "sample_split_counts",
     "text_domain_stats",
+    "cluster_kmeans",
+    "dedup_semantic_pairs",
     "text_lm_perplexity",
     "sample_temperature",
     "sample_domain_cap",
@@ -3531,6 +3562,77 @@ WITH r AS (
 )
 SELECT split, lang, count(*) AS n_docs FROM r GROUP BY split, lang
 """
+    # Lloyd's k-means unrolled in pure SQL: one materialized CTE pair
+    # (assign, refit) per iteration over the REAL embeddings view,
+    # mirroring the 6-dp rounding protocol (centroids and distances)
+    # and the (dist, cluster) tie-break. Empty clusters keep the
+    # previous centroid via the anti-joined union.
+    def _kmeans_sql(k: int, iters: int, d: int, seed: str = "42") -> str:
+        h = (
+            "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || chr(31)"
+            f" || 'kmeans' || chr(31) || '{seed}'), 1, 8)) AS BIGINT)"
+        )
+        parts = [
+            "x AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v"
+            " FROM embeddings)",
+            f"""c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cluster,
+         list_transform(v, e -> round(e, 6)) AS c
+  FROM x QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k}
+)""",
+        ]
+        dist = (
+            "round(list_sum(list_transform(list_zip(x.v, c.c),"
+            " p -> (p[1]-p[2])*(p[1]-p[2]))), 6)"
+        )
+        for i in range(iters):
+            parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, v, cluster, dist FROM (
+    SELECT x.vec_id, x.v, c.cluster, {dist} AS dist,
+           row_number() OVER (
+             PARTITION BY x.vec_id ORDER BY {dist}, c.cluster
+           ) AS rn
+    FROM x, c{i} c
+  ) WHERE rn = 1
+)""")
+            if i + 1 < iters:
+                parts.append(f"""f{i} AS MATERIALIZED (
+  SELECT cluster, list(cm ORDER BY i) AS c FROM (
+    SELECT a.cluster, t.i, round(avg(a.v[t.i]), 6) AS cm
+    FROM a{i} a, (SELECT unnest(range(1, {d + 1})) AS i) t
+    GROUP BY a.cluster, t.i
+  ) GROUP BY cluster
+)""")
+                parts.append(f"""c{i + 1} AS MATERIALIZED (
+  SELECT cluster, c FROM f{i}
+  UNION ALL
+  SELECT cluster, c FROM c{i}
+  WHERE cluster NOT IN (SELECT cluster FROM f{i})
+)""")
+        return "WITH " + ",\n".join(parts)
+
+    o["cluster_kmeans"] = (
+        _kmeans_sql(8, 3, 64)
+        + "\nSELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM a2"
+    )
+    # SemDeDup pairs: the final assignment self-joined within cluster;
+    # sequential-fold cosine (list_sum preserves list order) rounded
+    # to 6 dp like functions/vectors.py
+    o["dedup_semantic_pairs"] = (
+        _kmeans_sql(8, 3, 64)
+        + """
+SELECT a, b, cos FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         round(
+           list_sum(list_transform(list_zip(l.v, r.v), p -> p[1]*p[2]))
+           / (sqrt(list_sum(list_transform(l.v, e -> e*e)))
+              * sqrt(list_sum(list_transform(r.v, e -> e*e)))), 6
+         ) AS cos
+  FROM a2 l JOIN a2 r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+) WHERE cos >= 0.4
+"""
+    )
+
     # independent bigram-LM implementation: DuckDB builds bigrams via
     # list_zip of the two shifted slices (unnamed structs -> numeric
     # extract), then mirrors the add-k smoothing arithmetic; nll/ppl

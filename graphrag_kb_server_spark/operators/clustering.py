@@ -1,0 +1,174 @@
+"""Distributed Lloyd's k-means over embedding columns.
+
+The clustering pass behind SemDeDup-style semantic dedup and corpus
+bucketing: points are assigned to the nearest of k centroids, centroids
+re-fit as per-cluster means, iterated a fixed number of rounds. The
+reference server has no clustering surface (its IVF cells come from
+hyperplane LSH — operators/similarity.py); k-means adds the
+data-dependent variant a curation pipeline wants.
+
+Spark-first decomposition — Lloyd's is a join and an aggregation:
+
+- **assignment** is a crossJoin against the BROADCAST centroid table
+  (k rows — the model is tiny even when the data is 100 TB) followed by
+  a per-point argmin. Cost: N·k distance evaluations, all inside
+  Catalyst (``F.aggregate`` fold over ``zip_with`` — no Python per
+  row).
+- **update** is one map-side-combined aggregation: d per-dimension
+  ``avg`` columns per cluster (static d keeps it whole-stage-codegen;
+  no explode, no shuffle of N·d rows — partial aggregation collapses
+  each partition to ≤ k rows before the exchange).
+- the k·d centroid matrix is collected to the driver each round — the
+  canonical structure of distributed Lloyd's (the model round-trips,
+  the data never moves beyond the one agg shuffle).
+
+Determinism & engine parity: init picks the k points with the smallest
+(md5-hash, id) — the same stable draw the sampling family uses; both
+centroid means and point-centroid distances are rounded to 6 dp before
+comparison, with cluster-id tie-breaks, so different engines'
+summation-order ULPs (~1e-13) can never flip an argmin that the
+rounding has not already made an explicit tie.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_kb_server_spark.functions.vectors import to_double
+from graphrag_kb_server_spark.operators.sampling import _int_hash, _op_seed
+
+
+def _sq_dist(vec, cent) -> F.Column:
+    """Sequential-fold squared euclidean distance (zip then one
+    in-order aggregate — the same evaluation order every mirror
+    uses)."""
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    points: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 4,
+    seed: str = "42",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fixed-iteration Lloyd's k-means; returns (assignments, centroids).
+
+    ``assignments`` is (id, cluster, dist) with dist the rounded
+    squared distance to the winning centroid; ``centroids`` is the
+    final k×d rounded matrix (the model — small by construction).
+    Clusters that lose all points keep their previous centroid, the
+    standard fixed-k convention.
+    """
+    spark = points.sparkSession
+    src = points.select(
+        F.col(id_col).alias("_pid"), to_double(F.col(vec_col)).alias("_v")
+    ).localCheckpoint(eager=False)
+
+    init = (
+        src.orderBy(_int_hash(F.col("_pid"), _op_seed("kmeans", seed)), "_pid")
+        .limit(k)
+        .collect()
+    )
+    d = len(init[0]["_v"])
+    centroids = [[round(float(x), 6) for x in r["_v"]] for r in init]
+
+    assigned = None
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(ci, c) for ci, c in enumerate(centroids)],
+            "cluster int, _c array<double>",
+        )
+        assigned = (
+            src.crossJoin(F.broadcast(cent_df))
+            .select(
+                "_pid", "_v", "cluster",
+                F.round(_sq_dist(F.col("_v"), F.col("_c")), 6).alias("_dist"),
+            )
+            .groupBy("_pid")
+            .agg(
+                F.first("_v").alias("_v"),
+                F.min(F.struct("_dist", "cluster")).alias("_best"),
+            )
+            .select(
+                "_pid", "_v",
+                F.col("_best.cluster").alias("cluster"),
+                F.col("_best._dist").alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        fit = assigned.groupBy("cluster").agg(
+            *[
+                F.round(F.avg(F.col("_v")[i]), 6).alias(f"c{i}")
+                for i in range(d)
+            ]
+        ).collect()
+        new_c = list(centroids)  # empty clusters keep their centroid
+        for r in fit:
+            new_c[r["cluster"]] = [float(r[f"c{i}"]) for i in range(d)]
+        centroids = new_c
+
+    out = assigned.select(
+        F.col("_pid").alias(id_col), "cluster", "dist"
+    )
+    return out, centroids
+
+
+def semantic_dedup_pairs(
+    points: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 4,
+    threshold: float = 0.95,
+    seed: str = "42",
+) -> DataFrame:
+    """SemDeDup: near-duplicate pairs = cosine ≥ threshold WITHIN a
+    k-means cluster. The cluster equi-join bounds candidate pairs to
+    Σ n_c² instead of N² — exactly why SemDeDup clusters first; the
+    within-cluster join is the same bounded shape the minhash band
+    join uses (operators/dedup.py). Returns (a, b, cos) with a < b,
+    cosine rounded to 6 dp."""
+    from graphrag_kb_server_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    assigned, _ = kmeans(points, id_col, vec_col, k=k, iters=iters, seed=seed)
+    vecs = points.select(
+        F.col(id_col).alias("_pid"), to_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    sides = assigned.select(
+        F.col(id_col).alias("_pid"), "cluster"
+    ).join(vecs, "_pid")
+
+    lhs = sides.select(
+        F.col("cluster"),
+        F.col("_pid").alias("a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    rhs = sides.select(
+        F.col("cluster"),
+        F.col("_pid").alias("b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    return (
+        lhs.join(rhs, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(
+                cosine_with_norms(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
