@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     # training-data curation family (r5)
     "sample_stratified",
     "text_domain_stats",
+    "sample_domain_cap",
+    "text_lm_perplexity",
+    "cluster_kmeans",
 ]
 
 # entries whose r3→r4 history showed >3x run-to-run spread on this
