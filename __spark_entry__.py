@@ -1430,6 +1430,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lm_perplexity(docs, "doc_id", "text", k=0.1)
     q["text_lm_perplexity"] = text_lm_perplexity
 
+    def text_lm_transfer(spark, sf):
+        """CCNet filtering mode: LM trained on the TRUSTED subset
+        (lang='en') scores the whole corpus — unseen bigrams fall back
+        to c(w1), unseen contexts to the smoothing floor (the two
+        left-join coalesce paths). Oracle: same independent DuckDB
+        implementation with en-only training CTEs."""
+        from graphrag_kb_server_spark.operators.lm import (
+            bigram_lm,
+            lm_perplexity,
+        )
+
+        docs = _t(spark, sf, "documents")
+        model = bigram_lm(
+            docs.where(F.col("lang") == "en"), "doc_id", "text"
+        )
+        return lm_perplexity(docs, "doc_id", "text", model=model, k=0.5)
+    q["text_lm_transfer"] = text_lm_transfer
+
+    def sample_split_leak(spark, sf):
+        """Contamination audit composition: SemDeDup near-dup pairs x
+        the stable train/val split — val vectors whose cosine>=0.35
+        partner landed in train. Oracle composes the unrolled-SQL
+        k-means pair derivation with the same split hash."""
+        from graphrag_kb_server_spark.operators.clustering import (
+            semantic_dedup_pairs,
+        )
+        from graphrag_kb_server_spark.operators.sampling import (
+            split_leak_audit,
+            train_val_split,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        split = train_val_split(emb, "vec_id", val_fraction=0.3, seed="13")
+        pairs = semantic_dedup_pairs(
+            emb, "vec_id", "embedding", k=8, iters=3, threshold=0.35
+        )
+        return split_leak_audit(
+            split, pairs, "vec_id", score_col="cos"
+        )
+    q["sample_split_leak"] = sample_split_leak
+
     def sample_temperature(spark, sf):
         """Temperature mixture rebalancing (sampling.temperature_sample,
         α=0.3): rates derived from the language histogram via p^α
@@ -2064,6 +2105,8 @@ _WINDOW_FIRST = [
     "cluster_kmeans",
     "dedup_semantic_pairs",
     "text_lm_perplexity",
+    "text_lm_transfer",
+    "sample_split_leak",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -3672,6 +3715,88 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN per_doc p USING (doc_id)
 """
+
+    # transfer mode: training CTEs restricted to the trusted lang='en'
+    # slice; scoring joins stay corpus-wide so both fallback paths
+    # (seen-context/unseen-pair and unseen-context floor) execute
+    o["text_lm_transfer"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, lang, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, lang, unnest(list_zip(l[:len(l)-1], l[2:])) AS p
+        FROM toks)
+),
+bc AS (SELECT w1, w2, count(*) AS c_bigram FROM pairs
+       WHERE lang = 'en' GROUP BY w1, w2),
+cc AS (SELECT w1, count(*) AS c_context FROM pairs
+       WHERE lang = 'en' GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS vv FROM cc),
+scored AS (
+  SELECT p.doc_id,
+         ln((coalesce(b.c_bigram, 0) + 0.5)
+            / (coalesce(c.c_context, 0) + 0.5 * v.vv)) AS logp
+  FROM pairs p
+  LEFT JOIN bc b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN cc c ON c.w1 = p.w1
+  CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(-avg(logp), 6) AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       p.nll,
+       round(exp(p.nll), 4) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # leak audit: the SemDeDup pair derivation (same unrolled k-means
+    # SQL) composed with the split hash; val rows with >=1 train
+    # partner, counted over the symmetrized pair set
+    _split_u = (
+        "CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR) || chr(31) "
+        "|| 'split' || chr(31) || '13'), 1, 8)) AS BIGINT) / 4294967296.0"
+    )
+    o["sample_split_leak"] = (
+        _kmeans_sql(8, 3, 64)
+        + f""",
+prs AS MATERIALIZED (
+  SELECT a, b, cos FROM (
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           round(
+             list_sum(list_transform(list_zip(l.v, r.v), p -> p[1]*p[2]))
+             / (sqrt(list_sum(list_transform(l.v, e -> e*e)))
+                * sqrt(list_sum(list_transform(r.v, e -> e*e)))), 6
+           ) AS cos
+    FROM a2 l JOIN a2 r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+  ) WHERE cos >= 0.35
+),
+sym AS (
+  SELECT a AS x, b AS y, cos FROM prs
+  UNION ALL
+  SELECT b AS x, a AS y, cos FROM prs
+),
+sp AS (
+  SELECT vec_id,
+         CASE WHEN {_split_u.format(col='vec_id')} < 0.3
+              THEN 'val' ELSE 'train' END AS split
+  FROM embeddings
+)
+SELECT s.x AS vec_id, count(*) AS n_train_neighbors,
+       max(s.cos) AS max_score
+FROM sym s
+JOIN sp v ON v.vec_id = s.x AND v.split = 'val'
+JOIN sp t ON t.vec_id = s.y AND t.split = 'train'
+GROUP BY s.x
+"""
+    )
 
     # temperature rebalancing: the rate table re-derived in SQL from
     # the language histogram (p^alpha / Z, capped at 1, x fraction*N/n),

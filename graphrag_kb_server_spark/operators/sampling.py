@@ -342,6 +342,62 @@ def domain_cap(
     )
 
 
+def split_leak_audit(
+    split_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    split_col: str = "split",
+    a_col: str = "a",
+    b_col: str = "b",
+    score_col: str | None = None,
+) -> DataFrame:
+    """Contamination audit: held-out rows whose near-duplicate partner
+    landed in train — the leak every dedup-after-split pipeline must
+    check before trusting its eval numbers.
+
+    ``pairs`` is any undirected near-dup pair frame (minhash, SimHash,
+    embedding-cosine, SemDeDup — they all emit (a, b[, score])).
+    Returns (id, n_train_neighbors, max_score) for each val row with
+    at least one train partner. Pure joins + one aggregation: the pair
+    frame is symmetrized (union of both directions), each side joins
+    the split assignment, and the val-side groupBy counts partners.
+    The pair table is the bounded output of a bucketed dedup op —
+    orders of magnitude smaller than the corpus — so these joins
+    broadcast in practice.
+    """
+    score = F.col(score_col) if score_col else F.lit(None).cast("double")
+    sym = pairs.select(
+        F.col(a_col).alias("_x"), F.col(b_col).alias("_y"),
+        score.alias("_s"),
+    ).unionByName(
+        pairs.select(
+            F.col(b_col).alias("_x"), F.col(a_col).alias("_y"),
+            score.alias("_s"),
+        )
+    )
+    splits = split_df.select(
+        F.col(id_col).alias("_id"), F.col(split_col).alias("_split")
+    )
+    val_side = splits.where(F.col("_split") == "val").select(
+        F.col("_id").alias("_x")
+    )
+    train_side = splits.where(F.col("_split") == "train").select(
+        F.col("_id").alias("_y")
+    )
+    return (
+        sym.join(val_side, "_x")
+        .join(train_side, "_y")
+        .groupBy("_x")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_neighbors"),
+            F.max("_s").alias("max_score"),
+        )
+        .select(
+            F.col("_x").alias(id_col), "n_train_neighbors", "max_score"
+        )
+    )
+
+
 def url_domain(url_col) -> F.Column:
     """Registrable host of a URL (scheme/userinfo/port/path stripped),
     lowercased. Pure regexp — stays in codegen."""

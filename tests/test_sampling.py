@@ -308,3 +308,26 @@ def test_temperature_sample_deterministic(spark):
     a = temperature_sample(docs, "doc_id", "lang", seed="2")
     b = temperature_sample(docs.repartition(7), "doc_id", "lang", seed="2")
     assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+
+def test_split_leak_audit(spark):
+    from graphrag_kb_server_spark.operators.sampling import (
+        split_leak_audit,
+    )
+
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"), (4, "val"), (5, "val")],
+        "id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9),   # val 2 leaks via train 1
+         (2, 3, 0.8),   # val 2 leaks again via train 3
+         (4, 5, 0.99),  # val-val pair: NOT a leak
+         (1, 3, 0.7)],  # train-train pair: not a leak
+        "a long, b long, cos double",
+    )
+    out = {r.id: r for r in
+           split_leak_audit(split, pairs, "id", score_col="cos").collect()}
+    assert set(out) == {2}
+    assert out[2].n_train_neighbors == 2
+    assert out[2].max_score == 0.9
