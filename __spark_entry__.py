@@ -1992,6 +1992,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["web_host_pagerank"] = web_host_pagerank
 
+    def web_host_hits(spark, sf):
+        """HITS hubs & authorities (operators/hits.py) over the synth
+        host graph — size-adaptive driver path (the graph is tiny).
+        Oracle: golden_host_hits sequential twin, VALUES-pinned."""
+        from graphrag_kb_server_spark.operators.hits import hits
+        from graphrag_kb_server_spark.operators.webgraph import host_graph
+
+        out = hits(
+            host_graph(_synth_web_pages(spark)),
+            src="src_host", dst="dst_host", weight="weight",
+        )
+        return out.select(F.col("name").alias("host"), "hub", "authority")
+    q["web_host_hits"] = web_host_hits
+
+    def web_host_hits_distributed(spark, sf):
+        """Forced-distributed twin of web_host_hits (threshold 0):
+        keeps the per-round join/agg/normalize shuffles continuously
+        oracled against the same sequential twin."""
+        from graphrag_kb_server_spark.operators.hits import hits
+        from graphrag_kb_server_spark.operators.webgraph import host_graph
+
+        out = hits(
+            host_graph(_synth_web_pages(spark)),
+            src="src_host", dst="dst_host", weight="weight",
+            driver_edge_threshold=0,
+        )
+        return out.select(F.col("name").alias("host"), "hub", "authority")
+    q["web_host_hits_distributed"] = web_host_hits_distributed
+
     # ---- G2b: Louvain-style modularity refinement over LPA. The
     #      planted-block benchmark graph makes every phase bite (LPA
     #      over-fragments; merges recover blocks; local moves fix 26
@@ -2107,6 +2136,8 @@ _WINDOW_FIRST = [
     "text_lm_perplexity",
     "text_lm_transfer",
     "sample_split_leak",
+    "web_host_hits",
+    "web_host_hits_distributed",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -2209,6 +2240,11 @@ def _golden_kg_oracles() -> dict[str, str]:
         golden.golden_host_pagerank(300),
         {"host": "VARCHAR", "pr": "DOUBLE"},
     )
+    out["web_host_hits"] = _values_oracle(
+        golden.golden_host_hits(300),
+        {"host": "VARCHAR", "hub": "DOUBLE", "authority": "DOUBLE"},
+    )
+    out["web_host_hits_distributed"] = out["web_host_hits"]
     _cur_kept, _cur_stats = golden.golden_curation(200)
     out["cur_pipeline"] = _values_oracle(
         _cur_kept,

@@ -1402,3 +1402,31 @@ def golden_host_pagerank(
     return pd.DataFrame(
         {"host": hosts, "pr": [_round6(ranks[h]) for h in hosts]}
     )
+
+
+def golden_host_hits(n_docs: int, iterations: int = 20) -> pd.DataFrame:
+    """Sequential HITS twin over the twin host graph (L2-renormalized
+    hub/authority per iteration, the operators/hits.py update rule)."""
+    edges = golden_host_edges(n_docs)
+    hosts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    hub = {h: 1.0 for h in hosts}
+    auth = {h: 1.0 for h in hosts}
+    for _ in range(iterations):
+        a_raw = {h: 0.0 for h in hosts}
+        for (s, t), w in sorted(edges.items()):
+            a_raw[t] += hub[s] * w
+        na = sum(v * v for v in a_raw.values()) ** 0.5
+        auth = {h: (a_raw[h] / na if na > 0 else 0.0) for h in hosts}
+        h_raw = {h: 0.0 for h in hosts}
+        for (s, t), w in sorted(edges.items()):
+            h_raw[s] += auth[t] * w
+        nh = sum(v * v for v in h_raw.values()) ** 0.5
+        hub = {h: (h_raw[h] / nh if nh > 0 else 0.0) for h in hosts}
+    df = pd.DataFrame(
+        {
+            "host": hosts,
+            "hub": [_round6(hub[h]) for h in hosts],
+            "authority": [_round6(auth[h]) for h in hosts],
+        }
+    )
+    return df

@@ -241,3 +241,26 @@ def test_host_graph_semantics(spark):
         ("a.example.com", "b.example.com"): 2,
         ("a.example.com", "c.org"): 1,
     }
+
+
+def test_hits_ranking_and_paths_agree(spark):
+    """Kleinberg sanity on a hand graph (h1 links both authorities →
+    top hub; a1 has two in-links → top authority) and the forced-
+    distributed rounds must equal the driver path exactly at 6 dp."""
+    from graphrag_kb_server_spark.operators.hits import hits
+
+    edges = spark.createDataFrame(
+        [("h1", "a1", 1.0), ("h1", "a2", 1.0), ("h2", "a1", 1.0)],
+        "src string, tgt string, w double",
+    )
+    drv = hits(edges, weight="w", iterations=5)
+    dist = hits(edges, weight="w", iterations=5, driver_edge_threshold=0)
+    d = {r.name: (r.hub, r.authority) for r in drv.collect()}
+    x = {r.name: (r.hub, r.authority) for r in dist.collect()}
+    assert d == x
+    assert d["h1"][0] > d["h2"][0] > 0.0
+    assert d["a1"][1] > d["a2"][1] > 0.0
+    assert d["a1"][0] == 0.0 and d["h1"][1] == 0.0
+    # L2 normalization
+    assert abs(sum(v[0] ** 2 for v in d.values()) - 1.0) < 1e-4
+    assert abs(sum(v[1] ** 2 for v in d.values()) - 1.0) < 1e-4
