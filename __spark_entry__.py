@@ -927,6 +927,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return component_sizes(connected_components(edges))
     q["g3_components"] = g3_components
 
+    def g3_kcore(spark, sf):
+        """k-core peeling (components.k_core, k=2) over the same
+        supplier-part graph as g3_components — 8 real peel rounds at
+        sf0.01. Oracle: the peel unrolled 12 rounds in DuckDB
+        (materialized CTE per round; rounds past the fixpoint are
+        identity, the monotone-peel argument)."""
+        from graphrag_kb_server_spark.operators.components import k_core
+
+        li = _t(spark, sf, "lineitem")
+        edges = li.where("l_orderkey % 97 = 0").select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("tgt"),
+        ).distinct()
+        return k_core(edges, 2)
+    q["g3_kcore"] = g3_kcore
+
     def g3_components_star(spark, sf):
         # same contract via the alternating large-star/small-star
         # formulation (Kiveris et al.) — the high-diameter scale path;
@@ -2138,6 +2154,7 @@ _WINDOW_FIRST = [
     "sample_split_leak",
     "web_host_hits",
     "web_host_hits_distributed",
+    "g3_kcore",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -3041,6 +3058,37 @@ SELECT component, count(*) AS size FROM cm GROUP BY component
 """
     # identical ground truth for the star-alternation formulation
     o["g3_components_star"] = o["g3_components"]
+
+    # k-core peel unrolled: each round keeps edges whose BOTH endpoints
+    # have degree >= k; 12 rounds covers the observed 8-round fixpoint
+    # with identity slack (monotone peel)
+    _kc_rounds = []
+    _kc_prev = "e0"
+    for _i in range(1, 13):
+        _kc_rounds.append(
+            f"""e{_i} AS MATERIALIZED (
+  SELECT a, b FROM {_kc_prev}
+  WHERE a IN (SELECT a FROM {_kc_prev} GROUP BY a HAVING count(*) >= 2)
+    AND b IN (SELECT a FROM {_kc_prev} GROUP BY a HAVING count(*) >= 2)
+)"""
+        )
+        _kc_prev = f"e{_i}"
+    o["g3_kcore"] = (
+        """
+WITH base AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'p' || CAST(l_partkey AS VARCHAR) AS p
+  FROM lineitem WHERE l_orderkey % 97 = 0
+),
+e0 AS MATERIALIZED (
+  SELECT s AS a, p AS b FROM base UNION ALL SELECT p AS a, s AS b FROM base
+),
+"""
+        + ",\n".join(_kc_rounds)
+        + f"""
+SELECT a AS node, count(*) AS core_deg FROM {_kc_prev} GROUP BY a
+"""
+    )
 
     # Brandes betweenness, fully unrolled (no aggregates allowed in a
     # recursive CTE's recursive term, so BFS levels 1..12 and backward

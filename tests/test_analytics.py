@@ -264,3 +264,28 @@ def test_hits_ranking_and_paths_agree(spark):
     # L2 normalization
     assert abs(sum(v[0] ** 2 for v in d.values()) - 1.0) < 1e-4
     assert abs(sum(v[1] ** 2 for v in d.values()) - 1.0) < 1e-4
+
+
+def test_k_core_peeling(spark):
+    """Hand graph: a 4-clique with pendant chains — the 3-core is
+    exactly the clique (chains peel over multiple rounds); the 2-core
+    adds the attached triangle."""
+    from graphrag_kb_server_spark.operators.components import k_core
+
+    edges = [
+        # 4-clique a,b,c,d
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),
+        # triangle d-e-f (2-core but not 3-core)
+        ("d", "e"), ("e", "f"), ("f", "d"),
+        # pendant chain off a: a-p1-p2-p3 (peels in 3 rounds at k=2)
+        ("a", "p1"), ("p1", "p2"), ("p2", "p3"),
+    ]
+    e = spark.createDataFrame(edges, "src string, tgt string")
+    core3 = {r.node: r.core_deg for r in k_core(e, 3).collect()}
+    assert core3 == {"a": 3, "b": 3, "c": 3, "d": 3}
+    core2 = {r.node: r.core_deg for r in k_core(e, 2).collect()}
+    assert set(core2) == {"a", "b", "c", "d", "e", "f"}
+    assert core2["e"] == 2 and core2["d"] == 5
+    # empty core
+    assert k_core(e, 4).count() == 0
