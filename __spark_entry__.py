@@ -1018,6 +1018,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_dedup(docs, "text", "doc_id").select("doc_id")
     q["dedup_minhash_drop"] = dedup_minhash_drop
 
+    def dedup_quality_winner(spark, sf):
+        """Winner-rule dedup: per near-dup component keep the LONGEST
+        member (tie → min id) instead of min id — the curation rule
+        that drops the worst copies. Same LSH/CC machinery; the oracle
+        swaps the keeper CTE for a row_number over (-length, id)."""
+        docs = _t(spark, sf, "documents").withColumn(
+            "_neg_len", -F.length("text")
+        )
+        return minhash_lsh_dedup(
+            docs, "text", "doc_id", order_col="_neg_len"
+        ).select("doc_id")
+    q["dedup_quality_winner"] = dedup_quality_winner
+
     # ---- reference-artifact parity (kg_ref_dwell1_*): the engine's
     #      operators over the REAL dwell1 fixture the reference's own
     #      tests use (test/lightrag/test_lightrag_centrality.py:7-17) —
@@ -2155,6 +2168,7 @@ _WINDOW_FIRST = [
     "web_host_hits",
     "web_host_hits_distributed",
     "g3_kcore",
+    "dedup_quality_winner",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -3202,6 +3216,28 @@ cc AS (
 ),
 cm AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
 keepers AS (SELECT comp, min(node) AS keeper FROM cm GROUP BY comp),
+dropped AS (
+  SELECT node FROM cm JOIN keepers USING (comp) WHERE node <> keeper
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+    # same pair/component derivation, keeper = longest member (tie min
+    # id) — the winner-rule variant
+    _mh_head = o["dedup_minhash_drop"].split("keepers AS")[0]
+    o["dedup_quality_winner"] = _mh_head + """
+scored AS (
+  SELECT cm.node, cm.comp, -length(d.text) AS o
+  FROM cm JOIN documents d ON d.doc_id = cm.node
+),
+keepers AS (
+  SELECT comp, node AS keeper FROM (
+    SELECT comp, node,
+           row_number() OVER (PARTITION BY comp ORDER BY o, node) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
 dropped AS (
   SELECT node FROM cm JOIN keepers USING (comp) WHERE node <> keeper
 )

@@ -163,13 +163,31 @@ def minhash_lsh_dedup(
     **lsh_kwargs,
 ) -> DataFrame:
     """Drop near-duplicates: LSH pairs → connected components over the
-    duplicate graph → keep min-id member per component."""
+    duplicate graph → keep ONE member per component.
+
+    The keeper is the component's minimum by ``(order_col, id)`` —
+    default min id; pass e.g. a negated quality score to keep the
+    best-quality member (the curation-pipeline winner rule: dedup
+    should drop the worst copies, not an arbitrary one)."""
     from .components import connected_components
 
     order_col = order_col or id_col
     pairs = minhash_lsh_pairs(df, content_col, id_col, **lsh_kwargs)
     comp = connected_components(pairs, src="id_a", dst="id_b")
-    keep = comp.groupBy("component").agg(F.min("node").alias("_keep"))
+    if order_col == id_col:
+        keep = comp.groupBy("component").agg(F.min("node").alias("_keep"))
+    else:
+        scored = comp.join(
+            df.select(
+                F.col(id_col).alias("node"), F.col(order_col).alias("_o")
+            ),
+            "node",
+        )
+        keep = (
+            scored.groupBy("component")
+            .agg(F.min(F.struct("_o", "node")).alias("_k"))
+            .select("component", F.col("_k.node").alias("_keep"))
+        )
     drop = (
         comp.join(keep, "component")
         .where(F.col("node") != F.col("_keep"))

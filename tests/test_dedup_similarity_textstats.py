@@ -605,3 +605,31 @@ def test_tfidf_top_terms(spark):
             rows[i]["tfidf"] >= rows[i + 1]["tfidf"]
             for i in range(len(rows) - 1)
         )
+
+
+def test_minhash_dedup_winner_rule(spark):
+    """order_col picks the keeper: with -length the longest member of
+    each near-dup component survives (tie -> min id)."""
+    from pyspark.sql import functions as F
+
+    from graphrag_kb_server_spark.operators.dedup import minhash_lsh_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    rows = [
+        (1, base),
+        (2, base + " extended with extra trailing words here"),  # longest
+        (3, "completely different text about spark catalyst engines "
+            "and distributed shuffle joins at massive scale"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    default = {r.doc_id for r in
+               minhash_lsh_dedup(docs, "text", "doc_id")
+               .select("doc_id").collect()}
+    winner = {r.doc_id for r in
+              minhash_lsh_dedup(
+                  docs.withColumn("_neg_len", -F.length("text")),
+                  "text", "doc_id", order_col="_neg_len")
+              .select("doc_id").collect()}
+    assert default == {1, 3}   # min id kept
+    assert winner == {2, 3}    # longest kept
