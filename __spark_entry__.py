@@ -943,6 +943,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return k_core(edges, 2)
     q["g3_kcore"] = g3_kcore
 
+    def g6_triangles(spark, sf):
+        """Triangle counts + local clustering coefficient
+        (operators/triangles.py, degree-ordered orientation) over the
+        part co-occurrence graph (parts sharing an order). The oracle
+        counts triangles a DIFFERENT way — id-ordered 3-way join, no
+        orientation — an independent derivation of the contract."""
+        from graphrag_kb_server_spark.operators.triangles import (
+            triangle_counts,
+        )
+
+        li = _t(spark, sf, "lineitem").where("l_orderkey % 31 = 0")
+        side = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        edges = (
+            side.join(
+                side.select(F.col("o"), F.col("p").alias("p2")), "o"
+            )
+            .where(F.col("p") < F.col("p2"))
+            .select("p", "p2")
+            .distinct()
+        )
+        out = triangle_counts(edges, src="p", dst="p2")
+        return out.select(
+            F.col("node").alias("part"), "degree", "triangles",
+            "clustering",
+        )
+    q["g6_triangles"] = g6_triangles
+
     def g3_components_star(spark, sf):
         # same contract via the alternating large-star/small-star
         # formulation (Kiveris et al.) — the high-diameter scale path;
@@ -2169,6 +2198,7 @@ _WINDOW_FIRST = [
     "web_host_hits_distributed",
     "g3_kcore",
     "dedup_quality_winner",
+    "g6_triangles",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -3072,6 +3102,42 @@ SELECT component, count(*) AS size FROM cm GROUP BY component
 """
     # identical ground truth for the star-alternation formulation
     o["g3_components_star"] = o["g3_components"]
+
+    # independent triangle derivation: id-ordered 3-way join (the Spark
+    # side uses degree-ordered orientation — different algorithm, same
+    # contract); clustering is exact rational → 6-dp rounding identical
+    o["g6_triangles"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+  FROM lineitem WHERE l_orderkey % 31 = 0
+),
+e0 AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+),
+tri AS (
+  SELECT x.a AS a, x.b AS b, y.b AS c
+  FROM e0 x
+  JOIN e0 y ON y.a = x.b
+  JOIN e0 z ON z.a = x.a AND z.b = y.b
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node),
+sym AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+dg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY a)
+SELECT dg.node AS part,
+       CAST(dg.degree AS BIGINT) AS degree,
+       CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN dg.degree < 2 THEN 0.0
+            ELSE round(2.0 * coalesce(tc.triangles, 0)
+                       / (dg.degree * (dg.degree - 1.0)), 6)
+       END AS clustering
+FROM dg LEFT JOIN tc USING (node)
+"""
 
     # k-core peel unrolled: each round keeps edges whose BOTH endpoints
     # have degree >= k; 12 rounds covers the observed 8-round fixpoint

@@ -289,3 +289,26 @@ def test_k_core_peeling(spark):
     assert core2["e"] == 2 and core2["d"] == 5
     # empty core
     assert k_core(e, 4).count() == 0
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 on a,b,c,d (every node: 3 triangles, clustering 1.0) plus a
+    pendant edge d-e and an open wedge e-f, e-g (no triangle)."""
+    from graphrag_kb_server_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("d", "e"), ("e", "f"), ("e", "g"),
+        # duplicate + reversed + self-loop noise must be ignored
+        ("b", "a"), ("a", "b"), ("a", "a"),
+    ]
+    e = spark.createDataFrame(edges, "src string, tgt string")
+    out = {r.node: r for r in triangle_counts(e).collect()}
+    for n in "abc":
+        assert out[n].triangles == 3 and out[n].clustering == 1.0
+    assert out["d"].triangles == 3 and out["d"].degree == 4
+    assert abs(out["d"].clustering - round(6 / 12, 6)) < 1e-9
+    assert out["e"].triangles == 0 and out["e"].clustering == 0.0
+    assert out["f"].triangles == 0 and out["f"].degree == 1
