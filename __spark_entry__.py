@@ -1488,6 +1488,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lm_perplexity(docs, "doc_id", "text", k=0.1)
     q["text_lm_perplexity"] = text_lm_perplexity
 
+    def text_pmi_collocations(spark, sf):
+        """PMI phrase mining (lm.pmi_collocations): four aggs over one
+        bigram stream, marginals joined back on slot keys, total
+        bigrams broadcast; top-100 by the (pmi desc, w1, w2) total
+        order. Oracle mirrors the slot-marginal formula in SQL."""
+        from graphrag_kb_server_spark.operators.lm import pmi_collocations
+
+        docs = _t(spark, sf, "documents")
+        return pmi_collocations(
+            docs, "doc_id", "text", min_count=5, top_k=100
+        )
+    q["text_pmi_collocations"] = text_pmi_collocations
+
     def text_lm_transfer(spark, sf):
         """CCNet filtering mode: LM trained on the TRUSTED subset
         (lang='en') scores the whole corpus — unseen bigrams fall back
@@ -2199,6 +2212,7 @@ _WINDOW_FIRST = [
     "g3_kcore",
     "dedup_quality_winner",
     "g6_triangles",
+    "text_pmi_collocations",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -3900,6 +3914,32 @@ SELECT d.doc_id,
        round(exp(p.nll), 4) AS ppl
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # PMI slot-marginal mirror over the same list_zip bigram stream;
+    # deterministic boundary via ORDER BY pmi DESC, w1, w2 LIMIT 100
+    o["text_pmi_collocations"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (SELECT doc_id, unnest(list_zip(l[:len(l)-1], l[2:])) AS p
+        FROM toks)
+),
+pc AS (SELECT w1, w2, count(*) AS c_pair FROM pairs GROUP BY w1, w2),
+lc AS (SELECT w1, count(*) AS c_left FROM pairs GROUP BY w1),
+rc AS (SELECT w2, count(*) AS c_right FROM pairs GROUP BY w2),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM pairs)
+SELECT p.w1, p.w2, CAST(p.c_pair AS BIGINT) AS c_pair,
+       round(ln(p.c_pair * n.nn / (l.c_left * r.c_right)), 6) AS pmi
+FROM pc p JOIN lc l USING (w1) JOIN rc r USING (w2) CROSS JOIN n
+WHERE p.c_pair >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 100
 """
 
     # transfer mode: training CTEs restricted to the trusted lang='en'

@@ -66,6 +66,53 @@ def _token_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the phrase
+    miner (new_york, prime_minister) every tokenizer/vocab pipeline
+    runs before segmentation.
+
+    PMI(w1,w2) = ln( c(w1,w2) · N / (c₁(w1) · c₂(w2)) ) with N the
+    total bigram count and c₁/c₂ the slot-marginal counts — all four
+    are map-side-combined aggregations over the one exploded bigram
+    stream; the marginals join back on their slot key and N broadcasts
+    as a 1-row crossJoin. ``min_count`` kills the low-frequency noise
+    PMI is famously sensitive to. Deterministic top-k: ordered by
+    (pmi desc, w1, w2) — a total order, so the boundary is the same in
+    every engine; pmi rounded to 6 dp.
+    """
+    bg = _token_stream(docs, id_col, text_col)
+    pair_c = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_pair")
+    )
+    left_c = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_left"))
+    right_c = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c_right"))
+    total = bg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return (
+        pair_c.where(F.col("c_pair") >= min_count)
+        .join(left_c, "w1")
+        .join(right_c, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "c_pair",
+            F.round(
+                F.log(
+                    F.col("c_pair") * F.col("_n")
+                    / (F.col("c_left") * F.col("c_right"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
 def bigram_lm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Train: (w1, w2, c_bigram, c_context) — the sufficient statistic
     of an add-k bigram LM, as a DataFrame (the model IS a table; at

@@ -80,3 +80,26 @@ def test_lm_fluent_beats_shuffled(spark):
     out = {r.doc_id: r.ppl for r in
            lm_perplexity(docs, "doc_id", "text").collect()}
     assert out["f1"] < out["g"]
+
+
+def test_pmi_collocations(spark):
+    """'new york' always co-occurs (high PMI); 'the the' is frequent
+    but independent (PMI near 0); min_count filters rare pairs."""
+    import math
+
+    rows = []
+    for i in range(30):
+        rows.append((f"d{i}", "new york is the city the people the like"))
+    rows.append(("x", "rare pair here"))
+    docs = _df(spark, rows)
+    from graphrag_kb_server_spark.operators.lm import pmi_collocations
+
+    res = pmi_collocations(docs, "doc_id", "text", min_count=5, top_k=50)
+    out = {(r.w1, r.w2): r for r in res.collect()}
+    assert ("rare", "pair") not in out          # min_count
+    assert ("new", "york") in out
+    # hand-check: c(new,york)=30, N=8*30+2=242, c1(new)=30, c2(york)=30
+    want = round(math.log(30 * 242 / (30 * 30)), 6)
+    assert abs(out[("new", "york")].pmi - want) < 1e-9
+    # 'the like' vs 'new york': "the" appears 3x/doc in slot1 => lower pmi
+    assert out[("new", "york")].pmi > out[("the", "like")].pmi
