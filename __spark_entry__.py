@@ -1560,6 +1560,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "lang")
     q["sample_temperature"] = sample_temperature
 
+    def sample_weighted(spark, sf):
+        """Efraimidis-Spirakis weighted sampling without replacement
+        (sampling.weighted_sample): key = ln(u)/w row-local, top-k via
+        per-partition heaps. Docs weighted by n_chars, k=50; oracle is
+        the same formula in SQL with the identical 9-dp rounding and
+        id tie-break."""
+        from graphrag_kb_server_spark.operators.sampling import (
+            weighted_sample,
+        )
+
+        docs = _t(spark, sf, "documents")
+        out = weighted_sample(docs, "doc_id", "n_chars", k=50, seed="21")
+        return out.select("doc_id", "lang", F.col("_key").alias("es_key"))
+    q["sample_weighted"] = sample_weighted
+
     def sample_domain_cap(spark, sf):
         """Per-domain cap (operators/sampling.py:domain_cap): keep the
         cap smallest (md5-hash, id) docs per domain. cap=3 over the
@@ -2213,6 +2228,7 @@ _WINDOW_FIRST = [
     "dedup_quality_winner",
     "g6_triangles",
     "text_pmi_collocations",
+    "sample_weighted",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -4042,6 +4058,19 @@ r AS (
 SELECT d.doc_id, d.lang
 FROM documents d JOIN r USING (lang)
 WHERE {_u.format(op='tsample', seed='11')} < r.rate
+"""
+
+    # Efraimidis-Spirakis keys mirrored exactly: same md5-slice u, same
+    # ln(u)/w, same 9-dp rounding, same (key desc, id) boundary order
+    o["sample_weighted"] = f"""
+SELECT doc_id, lang, es_key FROM (
+  SELECT doc_id, lang,
+         round(ln({_u.format(op='wsample', seed='21')})
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+ORDER BY es_key DESC, doc_id
+LIMIT 50
 """
 
     # exact contract: per domain, the cap smallest (hash, id) survive.

@@ -342,6 +342,42 @@ def domain_cap(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "42",
+) -> DataFrame:
+    """k-item weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): every row gets key = ln(u)/w with u its deterministic
+    hash-uniform and w its weight; the k LARGEST keys are the sample —
+    provably equivalent to sequential weighted draws without
+    replacement, but embarrassingly parallel: the key is row-local and
+    the selection is a top-k (TakeOrderedAndProject — per-partition
+    k-heaps, no shuffle of the data, only k rows per partition reach
+    the driver-side merge).
+
+    The quality-weighted corpus subsample every curation pipeline
+    draws ("keep 10M docs, proportional to quality score"). Rows with
+    w ≤ 0 are excluded (zero weight = zero inclusion probability).
+    Keys are rounded to 9 dp with an id tie-break so libm ULPs cannot
+    flip the boundary across engines. Returns the selected rows plus
+    their ``_key`` (useful for reproducibility audits).
+    """
+    key = F.round(
+        F.log(_unit_hash(F.col(id_col), _op_seed("wsample", seed)))
+        / F.col(weight_col).cast("double"),
+        9,
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_key", key)
+        .orderBy(F.desc("_key"), id_col)
+        .limit(k)
+    )
+
+
 def split_leak_audit(
     split_df: DataFrame,
     pairs: DataFrame,

@@ -331,3 +331,59 @@ def test_split_leak_audit(spark):
     assert set(out) == {2}
     assert out[2].n_train_neighbors == 2
     assert out[2].max_score == 0.9
+
+
+def test_weighted_sample_without_replacement(spark):
+    import hashlib
+    import math
+
+    from graphrag_kb_server_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, float(1 + i % 7)) for i in range(500)]
+    rows.append((999, 1e9))    # giant weight: certain inclusion
+    rows.append((998, 0.0))    # zero weight: certain exclusion
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample(df, "id", "w", k=40, seed="8")
+    got = [(r.id, r._key) for r in out.collect()]
+    assert len(got) == 40
+    ids = {i for i, _ in got}
+    assert 999 in ids and 998 not in ids
+
+    # exact twin: same hash, same formula, same rounding
+    def key(i, w):
+        payload = f"{i}\x1fwsample\x1f8".encode()
+        u = int(hashlib.md5(payload).hexdigest()[:8], 16) / 2**32
+        return round(math.log(u) / w, 9)
+
+    want = sorted(
+        ((i, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:40]
+    assert got == want
+
+    # partitioning-invariant
+    out2 = weighted_sample(df.repartition(13), "id", "w", k=40, seed="8")
+    assert [(r.id, r._key) for r in out2.collect()] == got
+
+
+def test_weighted_sample_respects_weights(spark):
+    """Across 60 seeds, heavy items must be sampled far more often."""
+    from graphrag_kb_server_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 10 else 1.0) for i in range(110)],
+        "id long, w double",
+    )
+    heavy = light = 0
+    for s in range(60):
+        ids = {r.id for r in
+               weighted_sample(df, "id", "w", k=11, seed=str(s)).collect()}
+        heavy += sum(1 for i in ids if i < 10)
+        light += sum(1 for i in ids if i >= 10)
+    # heavy items are 10/110 of rows with 10x weight: inclusion rate
+    # should be several times the light rate per item
+    assert heavy / 10 > 3 * (light / 100)
