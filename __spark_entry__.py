@@ -1488,6 +1488,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lm_perplexity(docs, "doc_id", "text", k=0.1)
     q["text_lm_perplexity"] = text_lm_perplexity
 
+    def text_corpus_profile(spark, sf):
+        """Per-language length profile (textstats.corpus_profile):
+        exact linear-interpolation quantiles via F.percentile — one
+        sort-based agg per group; DuckDB's quantile_cont computes the
+        identical interpolation, making the 4-dp numbers portable."""
+        from graphrag_kb_server_spark.operators.textstats import (
+            corpus_profile,
+        )
+
+        docs = _t(spark, sf, "documents")
+        return corpus_profile(docs, "lang", "n_chars")
+    q["text_corpus_profile"] = text_corpus_profile
+
     def text_pmi_collocations(spark, sf):
         """PMI phrase mining (lm.pmi_collocations): four aggs over one
         bigram stream, marginals joined back on slot keys, total
@@ -2229,6 +2242,7 @@ _WINDOW_FIRST = [
     "g6_triangles",
     "text_pmi_collocations",
     "sample_weighted",
+    "text_corpus_profile",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -3930,6 +3944,21 @@ SELECT d.doc_id,
        round(exp(p.nll), 4) AS ppl
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # exact-quantile parity: quantile_cont = the same linear
+    # interpolation F.percentile computes
+    o["text_corpus_profile"] = """
+SELECT lang,
+       count(*) AS n,
+       min(CAST(n_chars AS DOUBLE)) AS vmin,
+       max(CAST(n_chars AS DOUBLE)) AS vmax,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS q_25,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS q_5,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS q_75,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS q_95
+FROM documents GROUP BY lang
 """
 
     # PMI slot-marginal mirror over the same list_zip bigram stream;

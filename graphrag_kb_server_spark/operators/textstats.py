@@ -365,3 +365,47 @@ def tfidf_top_terms(
             "term_rank",
         )
     )
+
+
+def corpus_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-group distribution profile: count / min / max / mean and
+    EXACT linear-interpolation quantiles of ``value_col`` — the
+    observability pass a curation run reports per language/domain
+    before choosing filter thresholds.
+
+    ``F.percentile`` (exact, not approx_percentile) is a single
+    sort-based aggregation per group; exactness is what makes the
+    numbers engine-portable (DuckDB's quantile_cont computes the same
+    interpolation — the oracle relies on it). At 100 TB swap in
+    ``approx_percentile`` when a 1e-4 relative error is acceptable;
+    the profile contract stays the same.
+
+    Returns (group, n, vmin, vmax, mean, q_25, q_50, ... one column
+    per requested quantile, 4-dp rounded).
+    """
+    pct = F.percentile(
+        F.col(value_col).cast("double"),
+        F.array(*[F.lit(float(q)) for q in quantiles]),
+    )
+    qcols = [
+        F.round(F.element_at(F.col("_qs"), i + 1), 4).alias(
+            f"q_{str(q).replace('0.', '')}"
+        )
+        for i, q in enumerate(quantiles)
+    ]
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(value_col).cast("double")).alias("vmin"),
+            F.max(F.col(value_col).cast("double")).alias("vmax"),
+            F.round(F.avg(F.col(value_col).cast("double")), 4).alias("mean"),
+            pct.alias("_qs"),
+        )
+        .select(group_col, "n", "vmin", "vmax", "mean", *qcols)
+    )
