@@ -1047,6 +1047,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_dedup(docs, "text", "doc_id").select("doc_id")
     q["dedup_minhash_drop"] = dedup_minhash_drop
 
+    def dedup_cluster_ids(spark, sf):
+        """Near-dup cluster assignment (dedup.minhash_cluster_ids):
+        every doc labeled with its duplicate component's min id
+        (singletons = self). Oracle: the LSH/CC derivation's component
+        map left-joined over all docs."""
+        from graphrag_kb_server_spark.operators.dedup import (
+            minhash_cluster_ids,
+        )
+
+        docs = _t(spark, sf, "documents")
+        return minhash_cluster_ids(docs, "text", "doc_id")
+    q["dedup_cluster_ids"] = dedup_cluster_ids
+
     def dedup_quality_winner(spark, sf):
         """Winner-rule dedup: per near-dup component keep the LONGEST
         member (tie → min id) instead of min id — the curation rule
@@ -2243,6 +2256,7 @@ _WINDOW_FIRST = [
     "text_pmi_collocations",
     "sample_weighted",
     "text_corpus_profile",
+    "dedup_cluster_ids",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -3353,6 +3367,14 @@ dropped AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+    # cluster map: every doc -> min id of its dup component (cm's comp
+    # IS the min label); singletons map to themselves
+    o["dedup_cluster_ids"] = _mh_head + """
+cl AS (SELECT node, comp FROM cm)
+SELECT d.doc_id, coalesce(cl.comp, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
 """
 
     # simhash64 mirrored exactly (functions/hashing.py:simhash64 +

@@ -196,6 +196,35 @@ def minhash_lsh_dedup(
     return df.join(drop, id_col, "left_anti")
 
 
+def minhash_cluster_ids(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup CLUSTER assignment: every row gets a stable
+    ``cluster_id`` (the min id of its duplicate component; singletons
+    map to themselves). The surface downstream curation wants when it
+    groups copies instead of dropping them (e.g. count versions per
+    cluster, pick winners later, audit dup mass per domain)."""
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(df, content_col, id_col, **lsh_kwargs)
+    # min-label CC: the component label IS the min member id
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    mapped = comp.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    return (
+        df.select(id_col)
+        .join(mapped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     content_col: str,
