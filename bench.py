@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "sample_domain_cap",
     "text_lm_perplexity",
     "cluster_kmeans",
+    "g6_triangles",
+    "text_pmi_collocations",
 ]
 
 # entries whose r3→r4 history showed >3x run-to-run spread on this
