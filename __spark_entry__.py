@@ -2104,6 +2104,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["web_host_pagerank"] = web_host_pagerank
 
+    def text_quality_classifier(spark, sf):
+        """Trainable quality classifier (operators/classifier.py):
+        logistic regression fit by IRLS where each Newton step is ONE
+        aggregation of 6-dp-rounded sufficient statistics (XtWX, XtWz)
+        — both engines then solve the identical system, so the beta
+        trajectory matches bit-for-bit. Features: len/100, tokens/10,
+        digits/10 of the extracted content; label = lang=='en'.
+        Oracle: golden_logistic sequential IRLS twin, VALUES-pinned."""
+        from graphrag_kb_server_spark.operators.classifier import (
+            logistic_predict,
+            logistic_train,
+        )
+
+        pages = corpus_mod.generate(spark, 200)
+        content = TXT.extract_text(F.col("text"), F.col("url"))
+        docs = pages.select(
+            "url",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+            content.alias("_c"),
+        ).select(
+            "url", "label",
+            (F.length("_c") / 100.0).alias("f_len"),
+            (
+                F.size(F.filter(F.split(F.col("_c"), r"\s+"),
+                                lambda t: t != F.lit(""))) / 10.0
+            ).alias("f_toks"),
+            (
+                F.length(F.regexp_replace(F.col("_c"), r"[^0-9]", "")) / 10.0
+            ).alias("f_digits"),
+        )
+        feats = ["f_len", "f_toks", "f_digits"]
+        beta = logistic_train(docs, feats, "label")
+        return logistic_predict(docs, feats, beta).select(
+            "url", "label", "prob"
+        )
+    q["text_quality_classifier"] = text_quality_classifier
+
     def web_host_hits(spark, sf):
         """HITS hubs & authorities (operators/hits.py) over the synth
         host graph — size-adaptive driver path (the graph is tiny).
@@ -2257,6 +2294,7 @@ _WINDOW_FIRST = [
     "sample_weighted",
     "text_corpus_profile",
     "dedup_cluster_ids",
+    "text_quality_classifier",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -2358,6 +2396,10 @@ def _golden_kg_oracles() -> dict[str, str]:
     out["web_host_pagerank"] = _values_oracle(
         golden.golden_host_pagerank(300),
         {"host": "VARCHAR", "pr": "DOUBLE"},
+    )
+    out["text_quality_classifier"] = _values_oracle(
+        golden.golden_logistic(200),
+        {"url": "VARCHAR", "label": "DOUBLE", "prob": "DOUBLE"},
     )
     out["web_host_hits"] = _values_oracle(
         golden.golden_host_hits(300),

@@ -1404,6 +1404,56 @@ def golden_host_pagerank(
     )
 
 
+def golden_logistic(
+    n_docs: int = 200, iters: int = 6, ridge: float = 1e-3
+) -> pd.DataFrame:
+    """Sequential IRLS twin of operators/classifier.py over the golden
+    corpus features (len/100, tokens/10, digits/10 of the extracted
+    content; label = lang=='en'). Mirrors the parity protocol exactly:
+    6-dp-rounded sufficient statistics, identical numpy solve, eta
+    clamp +/-30, weight floor 1e-12."""
+    import re
+
+    import numpy as np
+
+    docs = golden_documents(n_docs)
+    rows = []
+    for url, lang, content in zip(docs["url"], docs["lang"], docs["content"]):
+        toks = [t for t in re.split(r"\s+", content) if t]
+        rows.append(
+            (
+                url,
+                1.0 if lang == "en" else 0.0,
+                len(content) / 100.0,
+                len(toks) / 10.0,
+                len(re.sub(r"[^0-9]", "", content)) / 10.0,
+            )
+        )
+    urls = [r[0] for r in rows]
+    y = np.array([r[1] for r in rows])
+    X = np.column_stack(
+        [np.ones(len(rows))] + [np.array([r[i] for r in rows]) for i in (2, 3, 4)]
+    )
+    k1 = X.shape[1]
+    beta = np.zeros(k1)
+    for _ in range(iters):
+        eta = np.clip(X @ beta, -30.0, 30.0)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = np.maximum(mu * (1.0 - mu), 1e-12)
+        z = eta + (y - mu) / w
+        A = np.zeros((k1, k1))
+        b = np.zeros(k1)
+        for i in range(k1):
+            for j in range(i, k1):
+                A[i, j] = A[j, i] = round(float((w * X[:, i] * X[:, j]).sum()), 6)
+            b[i] = round(float((w * X[:, i] * z).sum()), 6)
+        A += ridge * np.eye(k1)
+        beta = np.linalg.solve(A, b)
+    eta = np.clip(X @ beta, -30.0, 30.0)
+    prob = np.round(1.0 / (1.0 + np.exp(-eta)), 6)
+    return pd.DataFrame({"url": urls, "label": y, "prob": prob})
+
+
 def golden_host_hits(n_docs: int, iterations: int = 20) -> pd.DataFrame:
     """Sequential HITS twin over the twin host graph (L2-renormalized
     hub/authority per iteration, the operators/hits.py update rule)."""
