@@ -2141,6 +2141,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["text_quality_classifier"] = text_quality_classifier
 
+    def web_host_cocitation(spark, sf):
+        """Host co-citation graph (webgraph.host_cocitation): pages'
+        distinct cited hosts self-joined on the page key (C(h,2) per
+        page, corpus-size-independent), counted on the pair. Oracle:
+        golden_host_cocitation python twin, VALUES-pinned."""
+        from graphrag_kb_server_spark.operators.webgraph import (
+            host_cocitation,
+        )
+
+        return host_cocitation(_synth_web_pages(spark))
+    q["web_host_cocitation"] = web_host_cocitation
+
     def web_host_hits(spark, sf):
         """HITS hubs & authorities (operators/hits.py) over the synth
         host graph — size-adaptive driver path (the graph is tiny).
@@ -2295,6 +2307,7 @@ _WINDOW_FIRST = [
     "text_corpus_profile",
     "dedup_cluster_ids",
     "text_quality_classifier",
+    "web_host_cocitation",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -2396,6 +2409,10 @@ def _golden_kg_oracles() -> dict[str, str]:
     out["web_host_pagerank"] = _values_oracle(
         golden.golden_host_pagerank(300),
         {"host": "VARCHAR", "pr": "DOUBLE"},
+    )
+    out["web_host_cocitation"] = _values_oracle(
+        golden.golden_host_cocitation(300),
+        {"host_a": "VARCHAR", "host_b": "VARCHAR", "weight": "BIGINT"},
     )
     out["text_quality_classifier"] = _values_oracle(
         golden.golden_logistic(200),

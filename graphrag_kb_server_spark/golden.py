@@ -1370,6 +1370,27 @@ def golden_host_edges(n_docs: int) -> dict[tuple[str, str], int]:
     return edges
 
 
+def golden_host_cocitation(n_docs: int) -> pd.DataFrame:
+    """Twin of webgraph.host_cocitation: per page the DISTINCT cited
+    hosts (own host excluded), every a<b pair counted once per page."""
+    counts: dict[tuple[str, str], int] = {}
+    for d in range(n_docs):
+        url, text = synth_web_page(d)
+        own = _host(url)
+        urls = [_WG_TRAIL_RE.sub("", u) for u in _WG_URL_RE.findall(text)]
+        hosts = sorted({_host(u) for u in dict.fromkeys(urls)} - {own})
+        for i in range(len(hosts)):
+            for j in range(i + 1, len(hosts)):
+                key = (hosts[i], hosts[j])
+                counts[key] = counts.get(key, 0) + 1
+    return pd.DataFrame(
+        [
+            {"host_a": a, "host_b": b, "weight": w}
+            for (a, b), w in sorted(counts.items())
+        ]
+    )
+
+
 def golden_host_graph(n_docs: int) -> pd.DataFrame:
     return pd.DataFrame(
         [

@@ -52,6 +52,49 @@ def host_graph(
     )
 
 
+def host_cocitation(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_weight: int = 1,
+) -> DataFrame:
+    """Host co-citation graph: ``(host_a, host_b, weight)`` with
+    ``weight`` = number of pages whose outbound links hit BOTH hosts
+    (a < b; the page's own host excluded, matching ``host_graph``).
+    Co-citation is the classic relatedness signal (Small 1973) — two
+    hosts repeatedly cited together are topically close even if they
+    never link each other.
+
+    Shape: the per-page distinct host list is the same row-local
+    extract+collapse ``host_graph`` uses; the pair expansion is a
+    self-join ON THE PAGE KEY, so a page citing h hosts contributes
+    C(h,2) rows — bounded by the per-page link count, never by corpus
+    size — and the final count is one partial-agg exchange on the
+    (a, b) pair.
+    """
+    cites = (
+        docs.select(
+            F.col(url_col).alias("_page"),
+            url_domain(F.col(url_col)).alias("_own"),
+            F.explode(extract_links(F.col(text_col))).alias("_u"),
+        )
+        .select(
+            "_page", "_own", url_domain(F.col("_u")).alias("_h")
+        )
+        .where(F.col("_h") != F.col("_own"))
+        .select("_page", "_h")
+        .distinct()
+    )
+    rhs = cites.select(F.col("_page"), F.col("_h").alias("_h2"))
+    return (
+        cites.join(rhs, "_page")
+        .where(F.col("_h") < F.col("_h2"))
+        .groupBy(F.col("_h").alias("host_a"), F.col("_h2").alias("host_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )
+
+
 def host_pagerank(
     docs: DataFrame,
     url_col: str = "url",
