@@ -632,6 +632,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_windowed_stream"] = s_windowed_stream
 
+    def s_trending_terms(spark, sf):
+        """Streaming trending terms (streaming/incremental.py): real
+        readStream -> watermark -> per-(window, token) count run via
+        availableNow, min_count tail prune. Oracle: the identical
+        window arithmetic + tokenization in DuckDB (streaming==batch).
+        Window starts compared as epoch seconds (engine-neutral)."""
+        import uuid
+
+        from graphrag_kb_server_spark.streaming.incremental import (
+            trending_terms_stream,
+        )
+
+        out = trending_terms_stream(
+            spark, f"{sf}/documents.parquet",
+            query_name=f"trend_{uuid.uuid4().hex[:8]}",
+        )
+        return out.select(
+            F.col("win.start").cast("long").alias("win_epoch"),
+            "token",
+            F.col("n").cast("bigint").alias("n"),
+        )
+    q["s_trending_terms"] = s_trending_terms
+
     # ---- Q15/Q20/Q21 context ops ----
     def q15_reference_list(spark, sf):
         from graphrag_kb_server_spark.operators.context_ops import reference_list
@@ -2308,6 +2331,7 @@ _WINDOW_FIRST = [
     "dedup_cluster_ids",
     "text_quality_classifier",
     "web_host_cocitation",
+    "s_trending_terms",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -4025,6 +4049,22 @@ SELECT d.doc_id,
        round(exp(p.nll), 4) AS ppl
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # streaming==batch: the same 10-minute tumbling window + token
+    # explode in SQL; window start as epoch seconds on both sides
+    o["s_trending_terms"] = """
+WITH d AS (
+  SELECT TIMESTAMP '2026-01-01 00:00:00'
+           + (CAST(doc_id AS INT) * INTERVAL 1 MINUTE) AS ts,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+t AS (SELECT ts, unnest(l) AS token FROM d)
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_epoch,
+       token, count(*) AS n
+FROM t GROUP BY 1, 2 HAVING count(*) >= 5
 """
 
     # exact-quantile parity: quantile_cont = the same linear

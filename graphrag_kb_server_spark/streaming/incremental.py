@@ -155,3 +155,62 @@ def windowed_event_counts(
     return src.groupBy(F.window("ts", window).alias("win"), "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
     )
+
+
+def trending_terms_stream(
+    spark: SparkSession,
+    docs_path: str,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+    min_count: int = 5,
+    query_name: str = "trending_terms_stream",
+) -> DataFrame:
+    """Streaming trending terms: readStream over the document feed →
+    event-time watermark → per-(window, token) counts, availableNow
+    (a bounded replay finalizes every window). The curation-ops view
+    of a live crawl: which terms spike in which ingestion window.
+
+    Tokens ride the same lowercase/whitespace tokenization the LM
+    family uses (one explode — the only per-token cost); the windowed
+    count is the standard watermarked streaming aggregation, state
+    bounded by (windows in flight × distinct tokens per window).
+    ``min_count`` prunes the Zipf tail at the sink. Event time derives
+    deterministically from doc_id (the synthetic feed has no
+    timestamp column) — a row-local cast both the stream and the
+    batch/DuckDB twin compute identically.
+    """
+    docs_dir = ensure_stream_dir(docs_path)
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    stream = stream.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(mins=F.col("doc_id").cast("int")),
+    ).withWatermark("ts", watermark)
+    toks = stream.select(
+        "ts",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    agg = (
+        toks.groupBy(F.window("ts", window).alias("win"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tbl = spark.table(query_name)
+    rows = tbl.collect()
+    out_schema = tbl.schema
+    spark.catalog.dropTempView(query_name)
+    return spark.createDataFrame(rows, out_schema)
