@@ -1070,6 +1070,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_dedup(docs, "text", "doc_id").select("doc_id")
     q["dedup_minhash_drop"] = dedup_minhash_drop
 
+    def dedup_incremental_probe(spark, sf):
+        """Incremental dedup probe (dedup.minhash_lsh_dedup_incremental):
+        the new batch (doc_id % 5 = 0) keeps only docs with NO band
+        collision against the indexed corpus (doc_id % 5 != 0). One
+        left-semi join on the band key — no pair expansion. Oracle:
+        the same band derivation in SQL with an IN-probe."""
+        from graphrag_kb_server_spark.operators.dedup import (
+            minhash_lsh_dedup_incremental,
+        )
+
+        docs = _t(spark, sf, "documents")
+        out = minhash_lsh_dedup_incremental(
+            docs.where("doc_id % 5 = 0"),
+            docs.where("doc_id % 5 != 0"),
+            "text", "doc_id",
+        )
+        return out.select("doc_id")
+    q["dedup_incremental_probe"] = dedup_incremental_probe
+
     def dedup_cluster_ids(spark, sf):
         """Near-dup cluster assignment (dedup.minhash_cluster_ids):
         every doc labeled with its duplicate component's min id
@@ -2332,6 +2351,7 @@ _WINDOW_FIRST = [
     "text_quality_classifier",
     "web_host_cocitation",
     "s_trending_terms",
+    "dedup_incremental_probe",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -3450,6 +3470,22 @@ dropped AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+    # incremental probe: same band derivation, new side keeps rows with
+    # no band membership in the seen side's band set
+    o["dedup_incremental_probe"] = f"""
+WITH sh AS (SELECT DISTINCT doc_id AS id, unnest({shingle_sql}) AS s FROM documents),
+hx AS (SELECT id, md5(s) || md5('1:' || s) AS h FROM sh),
+sig AS (SELECT id, {mins16} FROM hx GROUP BY id),
+bands AS MATERIALIZED (SELECT id, unnest([{band_keys}]) AS band FROM sig),
+hit AS (
+  SELECT DISTINCT id FROM bands
+  WHERE id % 5 = 0
+    AND band IN (SELECT band FROM bands WHERE id % 5 <> 0)
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT id FROM hit)
 """
 
     # cluster map: every doc -> min id of its dup component (cm's comp

@@ -57,6 +57,69 @@ def exact_dedup(
     )
 
 
+def _band_table(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_words: int,
+) -> DataFrame:
+    """(id, band) — one row per LSH band key. Staged projections: the
+    hex stage pays ONE md5 per shingle; the signature references it
+    num_hashes times, so CollapseProject keeps it in its own project
+    (evaluated once per row) instead of inlining the md5 into every
+    slice."""
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        H.word_shingles(F.lower(F.col(content_col)), shingle_words).alias("_sh"),
+    )
+    hx = sh.select("id", H.shingle_hexes(F.col("_sh"), num_hashes).alias("_hx"))
+    sig = hx.select(
+        "id", H.minhash_from_hexes(F.col("_hx"), num_hashes).alias("_sig")
+    ).select(
+        "id", H.lsh_bands(F.col("_sig"), bands, rows_per_band).alias("bands")
+    )
+    return sig.select("id", F.explode("bands").alias("band"))
+
+
+def minhash_lsh_dedup_incremental(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    content_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Incremental near-dup probe: drop NEW documents whose any LSH
+    band collides with the already-indexed corpus — the production
+    shape of dedup, where each crawl batch probes the corpus instead
+    of re-deduping 100 TB from scratch.
+
+    The probe is one left-semi join on the band key: no pair
+    expansion (a degenerate seen-side bucket costs one linear task,
+    not C(n,2) rows), and in a real deployment ``seen_df``'s band
+    table is a persisted/bucketed table so only the new batch computes
+    signatures. Intra-batch duplicates are the existing
+    ``minhash_lsh_dedup``'s job — compose the two. Returns the
+    surviving new rows.
+    """
+    nb = _band_table(
+        new_df, content_col, id_col, num_hashes, bands, shingle_words
+    )
+    sb = _band_table(
+        seen_df, content_col, id_col, num_hashes, bands, shingle_words
+    )
+    hit = (
+        nb.join(sb.select("band"), "band", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(hit, id_col, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str,
@@ -69,23 +132,7 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs (id_a < id_b) via word-shingle
     MinHash LSH. Pair formation is band-bucket-local (equi-join on the
     band key), never all-pairs."""
-    rows_per_band = num_hashes // bands
-    # staged projections: shingles → per-shingle hex digests → signature
-    # → bands. The hex stage pays ONE md5 per shingle; the signature
-    # references it num_hashes times, so CollapseProject keeps it in its
-    # own project (evaluated once per row) instead of inlining the md5
-    # into every slice.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        H.word_shingles(F.lower(F.col(content_col)), shingle_words).alias("_sh"),
-    )
-    hx = sh.select("id", H.shingle_hexes(F.col("_sh"), num_hashes).alias("_hx"))
-    sig = hx.select(
-        "id", H.minhash_from_hexes(F.col("_hx"), num_hashes).alias("_sig")
-    ).select(
-        "id", H.lsh_bands(F.col("_sig"), bands, rows_per_band).alias("bands")
-    )
-    b = sig.select("id", F.explode("bands").alias("band"))
+    b = _band_table(df, content_col, id_col, num_hashes, bands, shingle_words)
     b = split_oversized_buckets(b, "band", "id", max_bucket)
     return (
         b.alias("x")
