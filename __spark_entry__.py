@@ -1556,6 +1556,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus_profile(docs, "lang", "n_chars")
     q["text_corpus_profile"] = text_corpus_profile
 
+    def text_bm25_topk(spark, sf):
+        """BM25 lexical retrieval (lm.bm25_topk): query terms are plan
+        literals so only query-term tokens reach an exchange (the
+        declarative inverted-index probe); Lucene idf + tf saturation,
+        top-15 by (score desc, id). Oracle mirrors the formula in SQL."""
+        from graphrag_kb_server_spark.operators.lm import bm25_topk
+
+        docs = _t(spark, sf, "documents")
+        return bm25_topk(docs, "doc_id", "text", "spark hash merge", k=15)
+    q["text_bm25_topk"] = text_bm25_topk
+
     def text_pmi_collocations(spark, sf):
         """PMI phrase mining (lm.pmi_collocations): four aggs over one
         bigram stream, marginals joined back on slot keys, total
@@ -2352,6 +2363,7 @@ _WINDOW_FIRST = [
     "web_host_cocitation",
     "s_trending_terms",
     "dedup_incremental_probe",
+    "text_bm25_topk",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -4116,6 +4128,42 @@ SELECT lang,
        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS q_75,
        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS q_95
 FROM documents GROUP BY lang
+"""
+
+    # BM25 mirrored: Lucene idf, k1=1.2 b=0.75, same tokenization;
+    # 6-dp score rounding + id tie-break pins the top-15 boundary
+    o["text_bm25_topk"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+t AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM toks),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         avg(CAST(len(l) AS DOUBLE)) AS avgdl
+  FROM toks
+),
+hits AS (SELECT * FROM t WHERE term IN ('hash', 'merge', 'spark')),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM hits GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM postings GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         ln(1 + (st.nn - d.dft + 0.5) / (d.dft + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / st.avgdl)) AS s
+  FROM postings p JOIN dft d USING (term) CROSS JOIN st
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 15
 """
 
     # PMI slot-marginal mirror over the same list_zip bigram stream;

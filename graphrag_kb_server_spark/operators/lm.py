@@ -66,6 +66,82 @@ def _token_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents for a query string —
+    the lexical twin of the engine's vector top-k family (the
+    reference retrieves by embedding cosine; every production RAG
+    stack pairs that with BM25).
+
+    Robertson/Sparck-Jones with the Lucene idf:
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``,
+    ``score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Scale shape: the query terms are PLAN LITERALS, so the postings
+    aggregation runs on the term-filtered token stream — the filter
+    sits below the explode's aggregation and only query-term tokens
+    ever reach an exchange (the inverted-index probe, expressed
+    declaratively). df/N/avgdl are one tiny broadcast and one 1-row
+    crossJoin; the final top-k is TakeOrderedAndProject. Scores are
+    6-dp rounded with an id tie-break — engine-stable boundaries.
+    """
+    q_terms = sorted(
+        {t for t in query.lower().split() if t}
+    )
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        "_id",
+        F.size("_toks").alias("_dl"),
+        F.explode("_toks").alias("term"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("_nn"),
+        F.avg(F.size(tokens_col(F.col(text_col)))).alias("_avgdl"),
+    )
+    hits = toks.where(F.col("term").isin(q_terms))
+    postings = hits.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_nn") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return (
+        scored.select(F.col("_id").alias(id_col), "score")
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
 def pmi_collocations(
     docs: DataFrame,
     id_col: str,

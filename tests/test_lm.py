@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from graphrag_kb_server_spark.operators.lm import (
     bigram_lm,
+    bm25_topk,
     lm_perplexity,
 )
 
@@ -103,3 +104,32 @@ def test_pmi_collocations(spark):
     assert abs(out[("new", "york")].pmi - want) < 1e-9
     # 'the like' vs 'new york': "the" appears 3x/doc in slot1 => lower pmi
     assert out[("new", "york")].pmi > out[("the", "like")].pmi
+
+
+def test_bm25_topk(spark):
+    """Hand-checkable BM25: rarer query terms dominate; tf saturates;
+    the query-matching doc outranks partial matches."""
+    import math
+
+    docs = _df(spark, [
+        ("a", "spark shuffle join " * 3),           # both terms, tf 3
+        ("b", "spark spark spark spark spark x y"), # common term only
+        ("c", "shuffle only here"),                 # rare term, tf 1
+        ("d", "nothing relevant at all"),
+        ("e", "spark here"),
+    ])
+    out = [(r.doc_id, r.score) for r in
+           bm25_topk(docs, "doc_id", "text", "spark shuffle", k=5)
+           .collect()]
+    ids = [i for i, _ in out]
+    assert ids[0] == "a"              # matches both terms
+    assert "d" not in ids             # no query term
+    # independent recompute for doc 'a'
+    N, avgdl = 5.0, (9 + 7 + 3 + 4 + 2) / 5.0
+    def idf(df_):
+        return math.log(1 + (N - df_ + 0.5) / (df_ + 0.5))
+    def part(tf, dl, df_):
+        return idf(df_) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    want_a = round(part(3, 9, 3.0) + part(3, 9, 2.0), 6)
+    got = dict(out)
+    assert abs(got["a"] - want_a) < 1e-9
