@@ -1556,6 +1556,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return corpus_profile(docs, "lang", "n_chars")
     q["text_corpus_profile"] = text_corpus_profile
 
+    def q_hybrid_rrf(spark, sf):
+        """Hybrid retrieval: BM25 top-30 over documents fused with
+        dense cosine top-30 over embeddings (vec_id ~ doc_id) by
+        reciprocal-rank fusion (merge.rrf_fuse). Oracle composes both
+        retrievers' SQL mirrors plus the same rank arithmetic."""
+        from graphrag_kb_server_spark.operators.lm import bm25_topk
+        from graphrag_kb_server_spark.operators.merge import rrf_fuse
+        from graphrag_kb_server_spark.operators.vector_topk import (
+            cosine_topk,
+        )
+
+        docs = _t(spark, sf, "documents")
+        emb = _t(spark, sf, "embeddings")
+        lex = bm25_topk(
+            docs, "doc_id", "text", "spark hash merge", k=30
+        ).select(F.col("doc_id").alias("id"), "score")
+        qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+        den = cosine_topk(emb, qvec, 30, score_alias="score").select(
+            F.col("vec_id").alias("id"), "score"
+        )
+        return rrf_fuse([(lex, "score"), (den, "score")], "id", top_k=15)
+    q["q_hybrid_rrf"] = q_hybrid_rrf
+
     def text_bm25_topk(spark, sf):
         """BM25 lexical retrieval (lm.bm25_topk): query terms are plan
         literals so only query-term tokens reach an exchange (the
@@ -2364,6 +2387,7 @@ _WINDOW_FIRST = [
     "s_trending_terms",
     "dedup_incremental_probe",
     "text_bm25_topk",
+    "q_hybrid_rrf",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -4128,6 +4152,54 @@ SELECT lang,
        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS q_75,
        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS q_95
 FROM documents GROUP BY lang
+"""
+
+    # hybrid fusion: both retrievers' mirrors composed + the same rank
+    # arithmetic (rrf_k=60; ranks on (score desc, id))
+    o["q_hybrid_rrf"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+t AS (SELECT doc_id, len(l) AS dl, unnest(l) AS term FROM toks),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         avg(CAST(len(l) AS DOUBLE)) AS avgdl
+  FROM toks
+),
+hits AS (SELECT * FROM t WHERE term IN ('hash', 'merge', 'spark')),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM hits GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dft FROM postings GROUP BY term
+),
+bscored AS (
+  SELECT p.doc_id,
+         ln(1 + (st.nn - d.dft + 0.5) / (d.dft + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / st.avgdl)) AS s
+  FROM postings p JOIN dft d USING (term) CROSS JOIN st
+),
+lex AS (
+  SELECT doc_id AS id, round(sum(s), 6) AS score
+  FROM bscored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 30
+),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+den AS (
+  SELECT vec_id AS id,
+         list_cosine_similarity(embedding::DOUBLE[], qe) AS score
+  FROM embeddings, qv
+  ORDER BY score DESC, vec_id LIMIT 30
+),
+r1 AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM lex),
+r2 AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM den),
+u AS (SELECT id, r FROM r1 UNION ALL SELECT id, r FROM r2)
+SELECT id, round(sum(1.0 / (60 + r)), 6) AS rrf, count(*) AS n_lists
+FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 15
 """
 
     # BM25 mirrored: Lucene idf, k1=1.2 b=0.75, same tokenization;

@@ -59,3 +59,43 @@ def round_robin_merge(
         first.withColumn("merge_ix", F.row_number().over(out_w) - 1)
         .drop("_pos", "_branch", "_interleave")
     )
+
+
+def rrf_fuse(
+    lists: list[tuple[DataFrame, str]],
+    id_col: str,
+    rrf_k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of pre-top-k'd
+    ranked lists: ``rrf(d) = Σ_lists 1/(rrf_k + rank_d)`` — the
+    standard hybrid-retrieval combiner (BM25 ⊕ dense cosine), robust
+    to incomparable score scales because only RANKS survive.
+
+    Inputs are (frame, score_col) pairs that are ALREADY top-k
+    retrieval outputs — tens of rows, so the unpartitioned rank
+    windows and the final aggregation are driver-trivial by
+    construction (the heavy lifting happened inside each retriever).
+    Returns (id, rrf, n_lists) — fused score (6 dp) and how many lists
+    contained the id — ordered by (rrf desc, id), top_k rows.
+    """
+    parts = []
+    for df, score_col in lists:
+        w = Window.orderBy(F.desc(score_col), id_col)
+        parts.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias("_r"))
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("_r"))), 6
+            ).alias("rrf"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(top_k)
+    )

@@ -175,3 +175,25 @@ def test_q14_budget_tracks_actual_usage(spark):
     p3 = QueryParams(mode="local", top_k=5, max_total_tokens=4000)
     ctx3 = kg_query(spark, g, query, p3)
     assert ctx3.processing_info["available_chunk_tokens"] >= b1
+
+
+def test_rrf_fuse(spark):
+    """Hand-checked RRF: an id ranked high in BOTH lists beats the
+    single-list leaders; rank ties broken by id identically."""
+    from pyspark.sql import functions as F
+
+    from graphrag_kb_server_spark.operators.merge import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "id long, s double")
+    l2 = spark.createDataFrame(
+        [(2, 5.0), (4, 4.0), (1, 3.0)], "id long, s double")
+    out = [(r.id, r.rrf, r.n_lists) for r in
+           rrf_fuse([(l1, "s"), (l2, "s")], "id", rrf_k=60, top_k=4)
+           .collect()]
+    def rr(*ranks):
+        return round(sum(1.0 / (60 + r) for r in ranks), 6)
+    assert out[0] == (2, rr(2, 1), 2)   # in both lists, high in both
+    assert out[1] == (1, rr(1, 3), 2)
+    assert {o[0] for o in out} == {1, 2, 3, 4}
+    assert dict((o[0], o[2]) for o in out)[4] == 1
