@@ -1579,6 +1579,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rrf_fuse([(lex, "score"), (den, "score")], "id", top_k=15)
     q["q_hybrid_rrf"] = q_hybrid_rrf
 
+    def text_trigram_backoff(spark, sf):
+        """Trigram stupid-backoff NLL (lm.trigram_backoff_nll), trained
+        on the lang='en' slice and scoring the whole corpus so all
+        three backoff tiers fire. Oracle: the same count tables and
+        CASE chain in SQL (slice bounds guarded with greatest() —
+        DuckDB negative-slice semantics would zip phantom trigrams on
+        sub-3-token docs)."""
+        from graphrag_kb_server_spark.operators.lm import (
+            trigram_backoff_nll,
+        )
+
+        docs = _t(spark, sf, "documents")
+        return trigram_backoff_nll(
+            docs, "doc_id", "text", train=docs.where(F.col("lang") == "en")
+        )
+    q["text_trigram_backoff"] = text_trigram_backoff
+
     def text_bm25_topk(spark, sf):
         """BM25 lexical retrieval (lm.bm25_topk): query terms are plan
         literals so only query-term tokens reach an exchange (the
@@ -2388,6 +2405,7 @@ _WINDOW_FIRST = [
     "dedup_incremental_probe",
     "text_bm25_topk",
     "q_hybrid_rrf",
+    "text_trigram_backoff",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -4152,6 +4170,67 @@ SELECT lang,
        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS q_75,
        round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4) AS q_95
 FROM documents GROUP BY lang
+"""
+
+    # stupid backoff mirrored: en-trained count tables, the same CASE
+    # chain, 0.5 unseen-unigram floor, 6-dp NLL
+    o["text_trigram_backoff"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+tr AS (
+  SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3
+  FROM (
+    SELECT unnest(list_zip(l[:greatest(len(l)-2, 0)],
+                           l[2:greatest(len(l)-1, 0)],
+                           l[3:])) AS p
+    FROM toks WHERE lang = 'en'
+  )
+),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY w1, w2, w3),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY w1, w2),
+c23 AS (SELECT w2, w3, count(*) AS c23 FROM tr GROUP BY w2, w3),
+c2 AS (SELECT w2, count(*) AS c2 FROM tr GROUP BY w2),
+uni AS (SELECT unnest(l) AS w3 FROM toks WHERE lang = 'en'),
+cu AS (SELECT w3, count(*) AS cu FROM uni GROUP BY w3),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM uni),
+dtri AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3
+  FROM (
+    SELECT doc_id, unnest(list_zip(l[:greatest(len(l)-2, 0)],
+                                   l[2:greatest(len(l)-1, 0)],
+                                   l[3:])) AS p
+    FROM toks
+  )
+),
+scored AS (
+  SELECT d.doc_id,
+         ln(CASE WHEN coalesce(t3.c3, 0) > 0
+                 THEN t3.c3 / CAST(t12.c12 AS DOUBLE)
+                 WHEN coalesce(t23.c23, 0) > 0
+                 THEN 0.4 * t23.c23 / CAST(t2.c2 AS DOUBLE)
+                 ELSE 0.4 * 0.4 * coalesce(u.cu, 0.5) / nt.nt
+            END) AS lp
+  FROM dtri d
+  LEFT JOIN c3 t3 USING (w1, w2, w3)
+  LEFT JOIN c12 t12 USING (w1, w2)
+  LEFT JOIN c23 t23 USING (w2, w3)
+  LEFT JOIN c2 t2 USING (w2)
+  LEFT JOIN cu u USING (w3)
+  CROSS JOIN nt
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_trigrams, round(-avg(lp), 6) AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       p.nll
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
 """
 
     # hybrid fusion: both retrievers' mirrors composed + the same rank

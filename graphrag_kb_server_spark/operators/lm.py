@@ -66,6 +66,106 @@ def _token_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _trigrams(toks) -> F.Column:
+    """Adjacent-triple structs from three shifted slices (arrays_zip:
+    one pass, no index lambda)."""
+    n = F.size(toks)
+    m = F.greatest(n - 2, F.lit(0))
+    return F.arrays_zip(
+        F.slice(toks, 1, m).alias("w1"),
+        F.slice(toks, 2, m).alias("w2"),
+        F.slice(toks, 3, m).alias("w3"),
+    )
+
+
+def trigram_backoff_nll(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    train: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document NLL under a trigram LM with STUPID BACKOFF (Brants
+    et al. 2007 — the web-scale LM recipe: no discounting to tune,
+    counts are the whole model):
+
+        s(w3|w1w2) = c(w1w2w3)/c(w1w2)            if trigram seen
+                   = α·c(w2w3)/c(w2)              elif bigram seen
+                   = α²·c(w3)/N                   else (0.5/N if w3 unseen)
+
+    ``train`` defaults to ``docs`` (self-scoring); pass a trusted
+    subset to make the backoff chain actually fire on unseen n-grams.
+    All four count tables are map-side-combined aggregations; scoring
+    is a chain of left joins on (w1,w2,w3)/(w1,w2)/(w2,w3)/(w2)/(w3)
+    — each a key-partitioned exchange, AQE-skew-safe — and one per-doc
+    aggregation. NLL rounded to 6 dp (summation-order immunity).
+    Returns (id, n_trigrams, nll).
+    """
+    if train is None:
+        train = docs
+
+    def tri_stream(d: DataFrame) -> DataFrame:
+        return (
+            d.select(
+                F.col(id_col).alias("_id"),
+                F.explode(
+                    _trigrams(tokens_col(F.col(text_col)))
+                ).alias("t"),
+            )
+            .select(
+                "_id",
+                F.col("t.w1").alias("w1"),
+                F.col("t.w2").alias("w2"),
+                F.col("t.w3").alias("w3"),
+            )
+        )
+
+    tr = tri_stream(train)
+    c3 = tr.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3"))
+    c12 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c23 = tr.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("_c23"))
+    c2 = tr.groupBy("w2").agg(F.count(F.lit(1)).alias("_c2"))
+    uni = train.select(
+        F.explode(tokens_col(F.col(text_col))).alias("w3")
+    )
+    c_u = uni.groupBy("w3").agg(F.count(F.lit(1)).alias("_cu"))
+    n_tot = uni.agg(F.count(F.lit(1)).cast("double").alias("_nt"))
+
+    a = F.lit(float(alpha))
+    score = F.when(
+        F.coalesce(F.col("_c3"), F.lit(0)) > 0,
+        F.col("_c3") / F.col("_c12"),
+    ).otherwise(
+        a
+        * F.when(
+            F.coalesce(F.col("_c23"), F.lit(0)) > 0,
+            F.col("_c23") / F.col("_c2"),
+        ).otherwise(
+            a * F.coalesce(F.col("_cu"), F.lit(0.5)) / F.col("_nt")
+        )
+    )
+    scored = (
+        tri_stream(docs)
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(c2, ["w2"], "left")
+        .join(c_u, ["w3"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select("_id", F.log(score).alias("_lp"))
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(-F.avg("_lp"), 6).alias("nll"),
+    )
+    ids = docs.select(F.col(id_col).alias("_id")).distinct()
+    return ids.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+        "nll",
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     id_col: str,

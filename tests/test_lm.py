@@ -133,3 +133,29 @@ def test_bm25_topk(spark):
     want_a = round(part(3, 9, 3.0) + part(3, 9, 2.0), 6)
     got = dict(out)
     assert abs(got["a"] - want_a) < 1e-9
+
+
+def test_trigram_stupid_backoff(spark):
+    """Hand-computed: seen trigram, bigram-backoff, unigram-backoff,
+    and unseen-word floor."""
+    import math
+
+    from graphrag_kb_server_spark.operators.lm import trigram_backoff_nll
+
+    train = _df(spark, [("t", "a b c d b c e")])
+    # train trigrams: abc bcd cdb dbc bce; c(w2)=counts in w2 slot
+    test = _df(spark, [
+        ("x", "a b c"),    # seen trigram: c3(abc)=1 / c12(ab)=1 -> 1.0
+        ("y", "z b c"),    # unseen tri, seen bigram (b,c): .4 * c23(bc)=2/c2(b)=2
+        ("z", "z z c"),    # unseen tri+bigram, seen unigram c: .16 * cu(c)/N
+        ("w", "z z q"),    # q unseen anywhere: .16 * 0.5/N
+    ])
+    out = {r.doc_id: r for r in
+           trigram_backoff_nll(test, "doc_id", "text", train=train)
+           .collect()}
+    N = 7.0
+    assert out["x"].nll == round(-math.log(1.0), 6)
+    assert out["y"].nll == round(-math.log(0.4 * 2 / 2), 6)
+    assert out["z"].nll == round(-math.log(0.16 * 2 / N), 6)
+    assert out["w"].nll == round(-math.log(0.16 * 0.5 / N), 6)
+    assert out["x"].n_trigrams == 1
