@@ -3210,7 +3210,7 @@ FROM deg
     o["q15_reference_list"] = """
 WITH first_occ AS (
   SELECT source AS file_path, doc_id AS merge_ix,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+         row_number() OVER (PARTITION BY lower(source) ORDER BY doc_id) AS rk
   FROM documents QUALIFY rk = 1
 )
 SELECT CAST(row_number() OVER (ORDER BY merge_ix) AS INT) AS ref_ix, file_path
@@ -3355,11 +3355,13 @@ FROM dg LEFT JOIN tc USING (node)
 """
 
     # k-core peel unrolled: each round keeps edges whose BOTH endpoints
-    # have degree >= k; 12 rounds covers the observed 8-round fixpoint
+    # have degree >= k; 20 rounds covers the observed fixpoints
     # with identity slack (monotone peel)
     _kc_rounds = []
     _kc_prev = "e0"
-    for _i in range(1, 13):
+    # 20 unrolled rounds: the k=2 peel needs 8 at sf0.01 but 14 at
+    # sf0.1 — 20 covers plausible check scales with identity slack
+    for _i in range(1, 21):
         _kc_rounds.append(
             f"""e{_i} AS MATERIALIZED (
   SELECT a, b FROM {_kc_prev}

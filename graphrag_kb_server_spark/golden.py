@@ -1466,12 +1466,13 @@ def golden_logistic(
         b = np.zeros(k1)
         for i in range(k1):
             for j in range(i, k1):
-                A[i, j] = A[j, i] = round(float((w * X[:, i] * X[:, j]).sum()), 6)
-            b[i] = round(float((w * X[:, i] * z).sum()), 6)
+                A[i, j] = A[j, i] = _round6(float((w * X[:, i] * X[:, j]).sum()))
+            b[i] = _round6(float((w * X[:, i] * z).sum()))
         A += ridge * np.eye(k1)
         beta = np.linalg.solve(A, b)
     eta = np.clip(X @ beta, -30.0, 30.0)
-    prob = np.round(1.0 / (1.0 + np.exp(-eta)), 6)
+    # HALF_UP like Spark F.round (np.round is binary half-even)
+    prob = [_round6(float(v)) for v in 1.0 / (1.0 + np.exp(-eta))]
     return pd.DataFrame({"url": urls, "label": y, "prob": prob})
 
 

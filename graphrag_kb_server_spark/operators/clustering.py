@@ -57,6 +57,7 @@ def kmeans(
     k: int = 10,
     iters: int = 4,
     seed: str = "42",
+    keep_vec: bool = False,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Fixed-iteration Lloyd's k-means; returns (assignments, centroids).
 
@@ -114,10 +115,12 @@ def kmeans(
             new_c[r["cluster"]] = [float(r[f"c{i}"]) for i in range(d)]
         centroids = new_c
 
-    out = assigned.select(
-        F.col("_pid").alias(id_col), "cluster", "dist"
-    )
-    return out, centroids
+    cols = [F.col("_pid").alias(id_col), "cluster", "dist"]
+    if keep_vec:
+        # the already-widened vector rides along — downstream passes
+        # (SemDeDup) avoid a second full-corpus projection + join
+        cols.append(F.col("_v").alias("_vec"))
+    return assigned.select(*cols), centroids
 
 
 def semantic_dedup_pairs(
@@ -140,13 +143,16 @@ def semantic_dedup_pairs(
         norm,
     )
 
-    assigned, _ = kmeans(points, id_col, vec_col, k=k, iters=iters, seed=seed)
-    vecs = points.select(
-        F.col(id_col).alias("_pid"), to_double(F.col(vec_col)).alias("_v")
-    ).withColumn("_n", norm(F.col("_v")))
+    assigned, _ = kmeans(
+        points, id_col, vec_col, k=k, iters=iters, seed=seed, keep_vec=True
+    )
+    # the assignment frame already carries the widened vector — no
+    # second pass over the corpus, no re-join
     sides = assigned.select(
-        F.col(id_col).alias("_pid"), "cluster"
-    ).join(vecs, "_pid")
+        F.col(id_col).alias("_pid"),
+        "cluster",
+        F.col("_vec").alias("_v"),
+    ).withColumn("_n", norm(F.col("_v")))
 
     lhs = sides.select(
         F.col("cluster"),

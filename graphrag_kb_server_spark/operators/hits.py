@@ -138,8 +138,17 @@ def _hits_driver(
         np.add.at(h_raw, s, auth[t] * w)
         nh = np.sqrt((h_raw * h_raw).sum())
         hub = h_raw / nh if nh > 0 else h_raw
-    nodes_pd["hub"] = np.round(hub, 6)
-    nodes_pd["authority"] = np.round(auth, 6)
+    # HALF_UP like the distributed path's F.round (np.round is
+    # binary half-even — divergence at decimal-half boundaries)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+
+    nodes_pd["hub"] = [_r6(v) for v in hub]
+    nodes_pd["authority"] = [_r6(v) for v in auth]
     schema = T.StructType(
         list(all_nodes.schema.fields)
         + [

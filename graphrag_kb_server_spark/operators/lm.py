@@ -34,11 +34,12 @@ from pyspark.sql import functions as F
 
 def tokens_col(text_col) -> F.Column:
     """Whitespace tokens of lowercased text, empties removed — the
-    shared LM tokenization (kept trivially mirrorable in SQL)."""
-    return F.filter(
-        F.split(F.lower(F.trim(text_col)), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
+    shared LM tokenization. Delegates to tokenize.words_of so the LM,
+    BPE, and streaming families can never fork their tokenization (the
+    SQL oracles mirror this ONE definition)."""
+    from graphrag_kb_server_spark.operators.tokenize import words_of
+
+    return words_of(text_col)
 
 
 def _bigrams(toks) -> F.Column:

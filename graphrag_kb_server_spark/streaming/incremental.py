@@ -103,6 +103,29 @@ def ensure_stream_dir(path: str) -> str:
     return path
 
 
+def _run_available_now(
+    spark: SparkSession, agg: DataFrame, query_name: str
+) -> DataFrame:
+    """Finalize a streaming aggregation: memory sink + availableNow +
+    complete output, then materialize and DROP the sink table (repeated
+    runs with fresh query names would otherwise pin one in-memory
+    result table each; the sink result is a finalized windowed agg —
+    small by construction)."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tbl = spark.table(query_name)
+    rows = tbl.collect()
+    schema = tbl.schema
+    spark.catalog.dropTempView(query_name)
+    return spark.createDataFrame(rows, schema)
+
+
 def windowed_events_stream(
     spark: SparkSession,
     events_dir: str,
@@ -123,23 +146,7 @@ def windowed_events_stream(
     # NTZ — the cast is identity under the engine's UTC session tz
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_event_counts(stream, window=window, watermark=watermark)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # materialize and DROP the memory-sink table: repeated runs with
-    # fresh query names would otherwise pin one in-memory result table
-    # each (the sink result is a finalized windowed agg — small by
-    # construction)
-    tbl = spark.table(query_name)
-    rows = tbl.collect()
-    schema = tbl.schema
-    spark.catalog.dropTempView(query_name)
-    return spark.createDataFrame(rows, schema)
+    return _run_available_now(spark, agg, query_name)
 
 
 def windowed_event_counts(
@@ -187,30 +194,14 @@ def trending_terms_stream(
         F.to_timestamp(F.lit("2026-01-01 00:00:00"))
         + F.make_interval(mins=F.col("doc_id").cast("int")),
     ).withWatermark("ts", watermark)
+    from ..operators.tokenize import words_of
+
     toks = stream.select(
-        "ts",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("token"),
+        "ts", F.explode(words_of(F.col("text"))).alias("token")
     )
     agg = (
         toks.groupBy(F.window("ts", window).alias("win"), "token")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= min_count)
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    tbl = spark.table(query_name)
-    rows = tbl.collect()
-    out_schema = tbl.schema
-    spark.catalog.dropTempView(query_name)
-    return spark.createDataFrame(rows, out_schema)
+    return _run_available_now(spark, agg, query_name)

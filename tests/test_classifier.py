@@ -40,10 +40,16 @@ def _numpy_irls(rows, iters=6, ridge=1e-3):
         z = eta + (y - mu) / w
         A = np.zeros((3, 3))
         b = np.zeros(3)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(x):
+            return float(Decimal(repr(float(x)))
+                         .quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
         for i in range(3):
             for j in range(i, 3):
-                A[i, j] = A[j, i] = round(float((w * X[:, i] * X[:, j]).sum()), 6)
-            b[i] = round(float((w * X[:, i] * z).sum()), 6)
+                A[i, j] = A[j, i] = r6((w * X[:, i] * X[:, j]).sum())
+            b[i] = r6((w * X[:, i] * z).sum())
         A += ridge * np.eye(3)
         beta = np.linalg.solve(A, b)
     return [float(v) for v in beta]
