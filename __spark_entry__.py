@@ -1776,6 +1776,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["tok_bpe_encode"] = tok_bpe_encode
 
+    def tok_unigram_vocab(spark, sf):
+        """Unigram-LM tokenizer training (tokenize.unigram_vocab):
+        SentencePiece-style hard EM over the Spark-collected (word,
+        freq) sufficient statistic — seed substring vocab, Viterbi
+        E-step, renormalize, prune. Oracle: golden_unigram's in-place
+        sequential reimplementation, VALUES-pinned (all arithmetic is
+        integer-exact in float64, so the trainers agree bit-for-bit)."""
+        from graphrag_kb_server_spark.operators.tokenize import (
+            unigram_vocab,
+        )
+
+        return unigram_vocab(_tok_docs(spark), "content", iters=3)
+    q["tok_unigram_vocab"] = tok_unigram_vocab
+
+    def tok_unigram_encode(spark, sf):
+        """Viterbi encoding under the trained unigram vocab — the
+        distinct-word Arrow-batched architecture (each word segmented
+        once, joined back, reassembled in order). tokens md5-digested
+        for the VALUES oracle."""
+        from graphrag_kb_server_spark.operators.tokenize import (
+            unigram_encode,
+            unigram_vocab,
+        )
+
+        docs = _tok_docs(spark)
+        vocab = unigram_vocab(docs, "content", iters=3)
+        return unigram_encode(docs, "url", "content", vocab).select(
+            F.col("id").alias("url"),
+            "n_pieces",
+            F.md5("tokens").alias("tokens_md5"),
+        )
+    q["tok_unigram_encode"] = tok_unigram_encode
+
     def asof_events(spark, sf):
         """As-of join (operators/asof.py): each click event matched to
         the most recent prior-or-equal view by the same user — the
@@ -2406,6 +2439,8 @@ _WINDOW_FIRST = [
     "text_bm25_topk",
     "q_hybrid_rrf",
     "text_trigram_backoff",
+    "tok_unigram_vocab",
+    "tok_unigram_encode",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -2561,6 +2596,16 @@ ASOF LEFT JOIN
     out["tok_bpe_encode"] = _values_oracle(
         _bpe_enc_df,
         {"url": "VARCHAR", "n_tokens": "BIGINT", "tokens_md5": "VARCHAR"},
+    )
+    _uni_vocab_df, _uni_enc_df = golden.golden_unigram(_GOLDEN_N_DOCS, 3)
+    out["tok_unigram_vocab"] = _values_oracle(
+        _uni_vocab_df,
+        {"rank": "INT", "piece": "VARCHAR", "count": "BIGINT",
+         "logp": "DOUBLE"},
+    )
+    out["tok_unigram_encode"] = _values_oracle(
+        _uni_enc_df,
+        {"url": "VARCHAR", "n_pieces": "INT", "tokens_md5": "VARCHAR"},
     )
     out["kg_query_context"] = _values_oracle(
         golden.golden_kg_query_context(_GOLDEN_N_DOCS),

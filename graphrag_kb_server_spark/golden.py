@@ -967,6 +967,104 @@ def golden_modularity_refine(
     )
 
 
+def golden_unigram(
+    n_rows: int = 120, iters: int = 3, max_piece_len: int = 6,
+    min_freq: int = 2, max_vocab: int = 2000
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Sequential twin of the unigram-LM tokenizer (tokenize.py):
+    Counter-based word freqs over the deterministic corpus, an in-place
+    reimplementation of seed-vocab/Viterbi/hard-EM, per-doc encodings.
+    All arithmetic is integer-exact in float64 (counts and 0.5 floors),
+    so the twin and the engine's driver-side trainer agree bit-for-bit.
+
+    Returns (vocab_df[rank,piece,count,logp],
+    enc_df[url,n_pieces,tokens_md5])."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    docs = golden_documents(n_rows)
+    doc_words: list[tuple[str, list[str]]] = []
+    for url, content in zip(docs["url"], docs["content"]):
+        ws = [w for w in re.split(r"\s+", content.strip().lower()) if w]
+        doc_words.append((url, ws))
+    wfreq = Counter(w for _, ws in doc_words for w in ws)
+    rows = sorted(wfreq.items())
+
+    # seed: chars + frequent substrings
+    sub: Counter = Counter()
+    for w, f in rows:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                sub[w[i:j]] += f
+    counts: dict[str, float] = {
+        p: float(c) for p, c in sub.items() if len(p) == 1
+    }
+    for p, c in sorted(
+        ((p, c) for p, c in sub.items() if len(p) > 1 and c >= min_freq),
+        key=lambda t: (-t[1], t[0]),
+    )[:max_vocab]:
+        counts[p] = float(c)
+
+    def vit(word: str, logp: dict[str, float]) -> list[str]:
+        n = len(word)
+        best = [0.0] + [float("-inf")] * n
+        back = [0] * (n + 1)
+        for end in range(1, n + 1):
+            for start in range(max(0, end - max_piece_len), end):
+                piece = word[start:end]
+                lp = logp.get(piece)
+                if lp is None:
+                    if end - start == 1:
+                        lp = -100.0
+                    else:
+                        continue
+                cand = best[start] + lp
+                if cand > best[end]:
+                    best[end] = cand
+                    back[end] = start
+        out = []
+        i = n
+        while i > 0:
+            out.append(word[back[i]:i])
+            i = back[i]
+        return out[::-1]
+
+    total = float(sum(counts.values()))
+    logp = {p: math.log(c / total) for p, c in counts.items()}
+    for _ in range(iters):
+        nc: dict[str, float] = {}
+        for w, f in rows:
+            for piece in vit(w, logp):
+                nc[piece] = nc.get(piece, 0.0) + f
+        for p in counts:
+            if len(p) == 1 and nc.get(p, 0.0) <= 0.0:
+                nc[p] = 0.5
+        counts = {p: c for p, c in nc.items() if c > 0.0}
+        total = float(sum(counts.values()))
+        logp = {p: math.log(c / total) for p, c in counts.items()}
+    ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    vocab_df = pd.DataFrame(
+        [
+            {"rank": ix, "piece": p, "count": int(c),
+             "logp": round(logp[p], 6)}
+            for ix, (p, c) in enumerate(ranked)
+        ]
+    )
+    enc_rows = []
+    for url, ws in doc_words:
+        toks = " ".join(" ".join(vit(w, logp)) for w in ws)
+        enc_rows.append(
+            {
+                "url": url,
+                "n_pieces": len(toks.split(" ")),
+                "tokens_md5": hashlib.md5(toks.encode()).hexdigest(),
+            }
+        )
+    return vocab_df, pd.DataFrame(enc_rows)
+
+
 def golden_bpe(
     n_rows: int = 120, num_merges: int = 40, min_pair_freq: int = 2
 ) -> tuple[pd.DataFrame, pd.DataFrame]:

@@ -228,3 +228,184 @@ def bpe_encode(
             "tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, hard-EM)
+# ---------------------------------------------------------------------------
+
+#: encode-time floor for characters never seen in training
+_UNK_LOGP = -100.0
+
+
+def unigram_seed_vocab(
+    freq_rows: list[tuple[str, int]],
+    max_piece_len: int = 6,
+    min_freq: int = 2,
+    max_vocab: int = 2000,
+) -> dict[str, int]:
+    """Seed vocabulary: every single character (coverage guarantee)
+    plus the ``max_vocab`` most frequent substrings of length
+    2..max_piece_len (occurrence-weighted by word frequency), ties to
+    the lexicographically smaller piece."""
+    counts: dict[str, int] = {}
+    for w, f in freq_rows:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                p = w[i:j]
+                counts[p] = counts.get(p, 0) + f
+    vocab = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1 and c >= min_freq),
+        key=lambda t: (-t[1], t[0]),
+    )[:max_vocab]
+    vocab.update(dict(multi))
+    return vocab
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], max_piece_len: int = 6
+) -> list[str]:
+    """Best segmentation under piece log-probs. Deterministic
+    tie-break: at equal score the LONGEST candidate piece ending at a
+    position wins (smallest start scanned first, strict > replaces).
+    Characters absent from the vocabulary segment as themselves at the
+    ``_UNK_LOGP`` floor — encode never fails."""
+    n = len(word)
+    best: list[float] = [0.0] + [float("-inf")] * n
+    back: list[int] = [0] * (n + 1)
+    for end in range(1, n + 1):
+        for start in range(max(0, end - max_piece_len), end):
+            piece = word[start:end]
+            lp = logp.get(piece)
+            if lp is None:
+                if end - start == 1:
+                    lp = _UNK_LOGP  # unseen character fallback
+                else:
+                    continue
+            cand = best[start] + lp
+            if cand > best[end]:
+                best[end] = cand
+                back[end] = start
+    out: list[str] = []
+    i = n
+    while i > 0:
+        out.append(word[back[i]:i])
+        i = back[i]
+    return out[::-1]
+
+
+def unigram_train_from_freqs(
+    freq_rows: list[tuple[str, int]],
+    iters: int = 4,
+    max_piece_len: int = 6,
+    min_freq: int = 2,
+    max_vocab: int = 2000,
+) -> list[tuple[int, str, int, float]]:
+    """SentencePiece-style unigram LM via hard EM over the (word,
+    freq) sufficient statistic: E-step = Viterbi-segment every distinct
+    word under current piece probs, crediting each used piece with the
+    word's corpus frequency; M-step = renormalize. Multi-char pieces
+    that win no segmentation are pruned; single characters persist at
+    a 0.5 floor (coverage). Deterministic end to end (pure python over
+    a sorted word list — the same driver-side-trainer architecture as
+    ``bpe_train_from_freqs``; the corpus-sized work stays in Spark).
+
+    Returns [(rank, piece, count, logp)] ordered by (count desc,
+    piece), logp rounded to 6 dp.
+    """
+    import math
+
+    rows = sorted(freq_rows)
+    counts = unigram_seed_vocab(rows, max_piece_len, min_freq, max_vocab)
+    total = float(sum(counts.values()))
+    logp = {p: math.log(c / total) for p, c in counts.items()}
+    for _ in range(iters):
+        new_counts: dict[str, float] = {}
+        for w, f in rows:
+            for piece in viterbi_segment(w, logp, max_piece_len):
+                new_counts[piece] = new_counts.get(piece, 0.0) + f
+        # coverage floor: characters never pruned
+        for p in counts:
+            if len(p) == 1 and new_counts.get(p, 0.0) <= 0.0:
+                new_counts[p] = 0.5
+        counts = {p: c for p, c in new_counts.items() if c > 0.0}
+        total = float(sum(counts.values()))
+        logp = {p: math.log(c / total) for p, c in counts.items()}
+    ranked = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    return [
+        (ix, p, int(c), round(logp[p], 6))
+        for ix, (p, c) in enumerate(ranked)
+    ]
+
+
+def unigram_vocab(
+    df: DataFrame,
+    text_col: str,
+    iters: int = 4,
+    max_piece_len: int = 6,
+    min_freq: int = 2,
+    max_vocab: int = 2000,
+) -> DataFrame:
+    """Distributed wrapper: the (word, freq) aggregation runs in Spark
+    (the corpus never reaches the driver); the EM loop runs over the
+    collected frequency table. Returns (rank, piece, count, logp)."""
+    rows = [
+        (r["word"], int(r["freq"]))
+        for r in word_freqs(df, text_col).collect()
+    ]
+    model = unigram_train_from_freqs(
+        rows, iters, max_piece_len, min_freq, max_vocab
+    )
+    return df.sparkSession.createDataFrame(
+        model, "rank int, piece string, count bigint, logp double"
+    )
+
+
+def unigram_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Viterbi-tokenize a corpus under a trained unigram vocabulary —
+    the same distinct-word architecture as ``bpe_encode``: each
+    DISTINCT word is segmented once by an Arrow-batched UDF, joined
+    back, and documents reassembled in word order. Returns
+    (id, n_pieces, tokens)."""
+    vp = vocab.select("piece", "logp").toPandas()
+    logp = dict(zip(vp["piece"], (float(x) for x in vp["logp"])))
+
+    @F.pandas_udf("string")
+    def encode_udf(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: " ".join(viterbi_segment(w, logp, max_piece_len))
+        )
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_of(F.col(text_col))).alias("pos", "word"),
+    )
+    distinct_words = exploded.select("word").distinct().select(
+        "word", encode_udf(F.col("word")).alias("toks")
+    )
+    return (
+        exploded.join(distinct_words, "word")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                ),
+                " ",
+            ).alias("tokens")
+        )
+        .select(
+            "id",
+            F.size(F.split("tokens", " ")).alias("n_pieces"),
+            "tokens",
+        )
+    )

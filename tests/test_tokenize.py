@@ -83,3 +83,43 @@ def test_max_words_guard_errors_not_truncates(spark):
 def test_min_pair_freq_stops_training():
     merges = bpe_train_from_freqs([("ab", 1)], 10, min_pair_freq=2)
     assert merges == []  # best pair count 1 < 2 — nothing merged
+
+
+def test_unigram_viterbi_and_train(spark):
+    import math
+
+    from graphrag_kb_server_spark.operators.tokenize import (
+        unigram_encode,
+        unigram_train_from_freqs,
+        unigram_vocab,
+        viterbi_segment,
+    )
+
+    # hand viterbi: 'abab' with logp favoring 'ab' over chars
+    logp = {"a": math.log(0.2), "b": math.log(0.2), "ab": math.log(0.5)}
+    assert viterbi_segment("abab", logp) == ["ab", "ab"]
+    # unseen char falls back to itself at the floor
+    assert viterbi_segment("axb", logp) == ["a", "x", "b"]
+
+    # train: repeated 'lowlow' should promote multi-char pieces
+    freqs = [("lowlow", 20), ("low", 10), ("west", 3)]
+    model = unigram_train_from_freqs(freqs, iters=3)
+    pieces = {p for _, p, _, _ in model}
+    assert "low" in pieces or "lowlow" in pieces
+    # ranks are (count desc, piece) and logps normalize
+    counts = [c for _, _, c, _ in model]
+    assert counts == sorted(counts, reverse=True)
+
+    # distributed wrapper + encode round-trip: every word re-joins to
+    # its original characters
+    docs = spark.createDataFrame(
+        [(1, "low low lowlow west west"), (2, "lowest newest")],
+        "doc_id long, text string",
+    )
+    vocab = unigram_vocab(docs, "text", iters=2)
+    out = {r.id: r for r in
+           unigram_encode(docs, "doc_id", "text", vocab).collect()}
+    for did, text in [(1, "low low lowlow west west"), (2, "lowest newest")]:
+        rebuilt = out[did].tokens.replace(" ", "")
+        assert rebuilt == text.replace(" ", "")
+    assert out[1].n_pieces >= 5
