@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "cluster_kmeans",
     "g6_triangles",
     "text_pmi_collocations",
+    "text_bm25_topk",
+    "text_trigram_backoff",
 ]
 
 # entries whose r3→r4 history showed >3x run-to-run spread on this
