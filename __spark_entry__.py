@@ -1070,6 +1070,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_dedup(docs, "text", "doc_id").select("doc_id")
     q["dedup_minhash_drop"] = dedup_minhash_drop
 
+    def cur_duplicate_spans(spark, sf):
+        """Cross-doc duplicated-span detection (curation.duplicate_spans,
+        Lee et al. 2022 signal): content-keyed sampled window hashes,
+        aggregation-shaped output (never pairs). Oracle: the identical
+        derivation in SQL over the documents view."""
+        from graphrag_kb_server_spark.operators.curation import (
+            duplicate_spans,
+        )
+
+        docs = _t(spark, sf, "documents")
+        return duplicate_spans(docs, "doc_id", "text", span_len=40,
+                               sample_mod=4)
+    q["cur_duplicate_spans"] = cur_duplicate_spans
+
     def dedup_incremental_probe(spark, sf):
         """Incremental dedup probe (dedup.minhash_lsh_dedup_incremental):
         the new batch (doc_id % 5 = 0) keeps only docs with NO band
@@ -2440,6 +2454,7 @@ _WINDOW_FIRST = [
     "q_hybrid_rrf",
     "text_trigram_backoff",
     "tok_unigram_vocab",
+    "cur_duplicate_spans",
     "tok_unigram_encode",
     "sample_temperature",
     "sample_domain_cap",
@@ -3571,6 +3586,31 @@ dropped AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT node FROM dropped)
+"""
+
+    # duplicated spans mirrored: same 40-char window md5 + 1/4
+    # hash-space selector, same per-doc then per-hash aggregation
+    o["cur_duplicate_spans"] = """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, i AS pos,
+         md5(substr(text, CAST(i AS INT), 40)) AS h
+  FROM documents,
+       unnest(range(1, greatest(length(text) - 39, 1) + 1)) AS t(i)
+),
+sel AS (
+  SELECT * FROM w
+  WHERE CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) % 4 = 0
+),
+per_doc AS (
+  SELECT h, id, count(*) AS cnt, min(pos) AS minpos
+  FROM sel GROUP BY h, id
+)
+SELECT h AS span_md5,
+       count(*) AS n_docs,
+       CAST(sum(cnt) AS BIGINT) AS n_sites,
+       min(id || ':' || CAST(minpos AS VARCHAR)) AS first_site,
+       max(id || ':' || CAST(minpos AS VARCHAR)) AS last_site
+FROM per_doc GROUP BY h HAVING count(*) >= 2
 """
 
     # incremental probe: same band derivation, new side keeps rows with

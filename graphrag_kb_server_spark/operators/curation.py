@@ -559,3 +559,75 @@ def boilerplate_ngram_stats(
             F.col("hot_ngrams") / F.greatest(F.col("n_ngrams"), F.lit(1)), 6
         ).alias("boilerplate_frac"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 40,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the substring-level
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data..."),
+    re-shaped for Spark: instead of a corpus suffix array, hash every
+    ``span_len``-char window and keep the CONTENT-KEYED sample of
+    positions whose window hash falls in 1/``sample_mod`` of the hash
+    space. Content-keyed sampling is the property that matters: the
+    same span selects the same windows in every document containing
+    it, so a shared span of length L ≥ span_len is detected with
+    probability 1 − (1 − 1/m)^(L − span_len + 1) — near-certain for
+    spans a few windows long, exactly 1/m at the minimum length (the
+    honest trade against hashing every byte; lower ``sample_mod`` to
+    tighten).
+
+    Output is AGGREGATION-shaped, never pairs: per duplicated span
+    hash, (span_md5, n_docs, n_sites, first_site, last_site) with
+    sites as ``doc:pos`` strings and exemplars via min/max — a
+    boilerplate span shared by 10^6 documents costs one combined
+    aggregation row, not C(10^6, 2) join rows. n_docs ≥ 2 only.
+    """
+    sel = (
+        F.conv(F.substring(F.col("_h"), 1, 2), 16, 10).cast("bigint")
+        % sample_mod
+        == 0
+    )
+    windows = (
+        docs.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.length("_t") - (span_len - 1), F.lit(1)
+                        ),
+                    ),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.substring("_t", i, span_len)).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("_id", F.col("w.pos").alias("_pos"), F.col("w.h").alias("_h"))
+        .where(sel)
+    )
+    per_doc = windows.groupBy("_h", "_id").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min("_pos").alias("_minpos")
+    )
+    site = F.concat_ws(":", F.col("_id"), F.col("_minpos").cast("string"))
+    return (
+        per_doc.groupBy(F.col("_h").alias("span_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_cnt").cast("bigint").alias("n_sites"),
+            F.min(site).alias("first_site"),
+            F.max(site).alias("last_site"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

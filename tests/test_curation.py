@@ -341,3 +341,33 @@ def test_hot_ngrams_and_boilerplate_frac(spark):
     assert stats[3]["boilerplate_frac"] == 1.0
     assert stats[4]["hot_ngrams"] == 0
     assert (stats[5]["n_ngrams"], stats[5]["boilerplate_frac"]) == (0, 0.0)
+
+
+def test_duplicate_spans(spark):
+    """A 60-char span shared by three docs is detected; unique text is
+    not; site exemplars are the lexicographic min/max doc:pos."""
+    from graphrag_kb_server_spark.operators.curation import (
+        duplicate_spans,
+    )
+
+    shared = ("this exact boilerplate sentence repeats verbatim "
+              "across documents")
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " tail a"),
+            (2, shared + " different tail entirely"),
+            (3, "another lead-in text " + shared),
+            (4, "totally unique content with no repetition anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, "doc_id", "text", span_len=40,
+                          sample_mod=2).collect()
+    assert out, "shared span must produce at least one detection"
+    docs_hit = set()
+    for r in out:
+        assert r.n_docs >= 2
+        docs_hit.add(r.first_site.split(":")[0])
+        docs_hit.add(r.last_site.split(":")[0])
+    assert docs_hit <= {"1", "2", "3"}
+    assert len(docs_hit) >= 2
