@@ -2400,6 +2400,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the committed full-suite artifact (CORRECTNESS_full_r05.json, from
 # tools/check_oracle.py over every registered entry).
 _WINDOW_FIRST = [
+    # newest first: the driver correctness window takes the FIRST 50
+    "tok_unigram_vocab",
+    "tok_unigram_encode",
+    "cur_duplicate_spans",
     # newest in r5 (pagerank, hot n-gram boilerplate mining, funnel)
     "g1_pagerank",
     "g1_pagerank_distributed",
@@ -2453,9 +2457,6 @@ _WINDOW_FIRST = [
     "text_bm25_topk",
     "q_hybrid_rrf",
     "text_trigram_backoff",
-    "tok_unigram_vocab",
-    "cur_duplicate_spans",
-    "tok_unigram_encode",
     "sample_temperature",
     "sample_domain_cap",
     "sample_pack_sequences",
@@ -3596,6 +3597,7 @@ WITH w AS (
          md5(substr(text, CAST(i AS INT), 40)) AS h
   FROM documents,
        unnest(range(1, greatest(length(text) - 39, 1) + 1)) AS t(i)
+  WHERE length(text) >= 40
 ),
 sel AS (
   SELECT * FROM w

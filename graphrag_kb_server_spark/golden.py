@@ -1058,7 +1058,7 @@ def golden_unigram(
         enc_rows.append(
             {
                 "url": url,
-                "n_pieces": len(toks.split(" ")),
+                "n_pieces": len(toks.split(" ")) if toks else 0,
                 "tokens_md5": hashlib.md5(toks.encode()).hexdigest(),
             }
         )

@@ -597,6 +597,10 @@ def duplicate_spans(
             F.col(id_col).cast("string").alias("_id"),
             F.col(text_col).alias("_t"),
         )
+        # shorter docs contain no span_len-char span: without this
+        # guard the whole text becomes a pseudo-window and identical
+        # short/empty docs report as duplicated "spans"
+        .where(F.length("_t") >= span_len)
         .select(
             "_id",
             F.explode(

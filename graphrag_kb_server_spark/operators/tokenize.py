@@ -175,6 +175,58 @@ def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def _encode_distinct_words(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    encode_udf,
+    count_alias: str,
+    count_type: str,
+) -> DataFrame:
+    """Shared distinct-word encode scaffolding (BPE + unigram): each
+    DISTINCT word is encoded ONCE by the Arrow-batched UDF, joined
+    back, and documents reassembled in word order — no per-row Python
+    over the corpus. Documents with NO words are reported with an
+    empty token string and count 0, not dropped (the left join back to
+    the id set; a silent drop would desync any row-per-doc oracle)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_of(F.col(text_col))).alias("pos", "word"),
+    )
+    distinct_words = exploded.select("word").distinct().select(
+        "word", encode_udf(F.col("word")).alias("toks")
+    )
+    per_doc = (
+        exploded.join(distinct_words, "word")
+        .groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                    lambda s: s["toks"],
+                ),
+                " ",
+            ).alias("tokens")
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("tokens", F.lit("")).alias("tokens"),
+        )
+        .select(
+            "id",
+            F.when(F.col("tokens") == "", F.lit(0))
+            .otherwise(F.size(F.split("tokens", " ")))
+            .cast(count_type)
+            .alias(count_alias),
+            "tokens",
+        )
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     id_col: str,
@@ -203,30 +255,8 @@ def bpe_encode(
             lambda w: " ".join(bpe_encode_word(w, ranks))
         )
 
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(words_of(F.col(text_col))).alias("pos", "word"),
-    )
-    distinct_words = exploded.select("word").distinct().select(
-        "word", encode_udf(F.col("word")).alias("toks")
-    )
-    return (
-        exploded.join(distinct_words, "word")
-        .groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
-                    lambda s: s["toks"],
-                ),
-                " ",
-            ).alias("tokens")
-        )
-        .select(
-            "id",
-            F.size(F.split("tokens", " ")).cast("bigint").alias("n_tokens"),
-            "tokens",
-        )
+    return _encode_distinct_words(
+        df, id_col, text_col, encode_udf, "n_tokens", "bigint"
     )
 
 
@@ -347,16 +377,27 @@ def unigram_vocab(
     max_piece_len: int = 6,
     min_freq: int = 2,
     max_vocab: int = 2000,
+    min_word_freq: int = 1,
+    max_words: int = 5_000_000,
 ) -> DataFrame:
     """Distributed wrapper: the (word, freq) aggregation runs in Spark
     (the corpus never reaches the driver); the EM loop runs over the
-    collected frequency table. Returns (rank, piece, count, logp)."""
-    rows = [
-        (r["word"], int(r["freq"]))
-        for r in word_freqs(df, text_col).collect()
-    ]
+    collected frequency table. ``min_word_freq``/``max_words`` are the
+    same web-scale long-tail guard ``bpe_merges`` applies: ERROR when
+    the distinct-word table exceeds the bound — raise ``min_word_freq``
+    rather than silently truncating. Returns (rank, piece, count,
+    logp)."""
+    wf = word_freqs(df, text_col, min_freq=min_word_freq)
+    pdf = wf.toPandas()  # Arrow batch, not Rows
+    if len(pdf) > max_words:
+        raise ValueError(
+            f"unigram_vocab: {len(pdf)} distinct words exceed "
+            f"max_words={max_words}; raise min_word_freq (the "
+            "web-scale long-tail guard) instead of truncating"
+        )
     model = unigram_train_from_freqs(
-        rows, iters, max_piece_len, min_freq, max_vocab
+        list(zip(pdf["word"], (int(f) for f in pdf["freq"]))),
+        iters, max_piece_len, min_freq, max_vocab,
     )
     return df.sparkSession.createDataFrame(
         model, "rank int, piece string, count bigint, logp double"
@@ -368,7 +409,7 @@ def unigram_encode(
     id_col: str,
     text_col: str,
     vocab: DataFrame,
-    max_piece_len: int = 6,
+    max_piece_len: int | None = None,
 ) -> DataFrame:
     """Viterbi-tokenize a corpus under a trained unigram vocabulary —
     the same distinct-word architecture as ``bpe_encode``: each
@@ -377,35 +418,19 @@ def unigram_encode(
     (id, n_pieces, tokens)."""
     vp = vocab.select("piece", "logp").toPandas()
     logp = dict(zip(vp["piece"], (float(x) for x in vp["logp"])))
+    # derive the lattice width from the trained vocab: an independent
+    # encode-time parameter could silently exclude the vocab's longest
+    # pieces from every segmentation
+    if max_piece_len is None:
+        max_piece_len = max((len(p) for p in logp), default=1)
+    mpl = max_piece_len
 
     @F.pandas_udf("string")
     def encode_udf(words: pd.Series) -> pd.Series:
         return words.map(
-            lambda w: " ".join(viterbi_segment(w, logp, max_piece_len))
+            lambda w: " ".join(viterbi_segment(w, logp, mpl))
         )
 
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(words_of(F.col(text_col))).alias("pos", "word"),
-    )
-    distinct_words = exploded.select("word").distinct().select(
-        "word", encode_udf(F.col("word")).alias("toks")
-    )
-    return (
-        exploded.join(distinct_words, "word")
-        .groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "toks"))),
-                    lambda s: s["toks"],
-                ),
-                " ",
-            ).alias("tokens")
-        )
-        .select(
-            "id",
-            F.size(F.split("tokens", " ")).alias("n_pieces"),
-            "tokens",
-        )
+    return _encode_distinct_words(
+        df, id_col, text_col, encode_udf, "n_pieces", "int"
     )

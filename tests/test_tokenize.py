@@ -123,3 +123,29 @@ def test_unigram_viterbi_and_train(spark):
         rebuilt = out[did].tokens.replace(" ", "")
         assert rebuilt == text.replace(" ", "")
     assert out[1].n_pieces >= 5
+
+
+def test_encode_reports_wordless_docs(spark):
+    """Docs with no words must be reported with count 0, not dropped
+    (a silent drop desyncs any row-per-doc oracle)."""
+    from graphrag_kb_server_spark.operators.tokenize import (
+        bpe_encode,
+        bpe_merges,
+        unigram_encode,
+        unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    m = bpe_merges(docs, "text", num_merges=5)
+    b = {r.id: r for r in bpe_encode(docs, "doc_id", "text", m).collect()}
+    assert set(b) == {1, 2, 3}
+    assert b[2].n_tokens == 0 and b[2].tokens == ""
+    v = unigram_vocab(docs, "text", iters=2)
+    u = {r.id: r for r in
+         unigram_encode(docs, "doc_id", "text", v).collect()}
+    assert set(u) == {1, 2, 3}
+    assert u[3].n_pieces == 0 and u[3].tokens == ""
+    assert u[1].n_pieces >= 3
