@@ -632,6 +632,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["s_windowed_stream"] = s_windowed_stream
 
+    def s_funnel(spark, sf):
+        """Ordered funnel conversion (operators/funnel.py) over events:
+        view -> click -> purchase, step k counting only events after
+        the user's step-(k-1) time. Oracle: the same min-chain
+        derivation in SQL."""
+        from graphrag_kb_server_spark.operators.funnel import funnel
+
+        ev = _t(spark, sf, "events")
+        return funnel(ev, ["view", "click", "purchase"])
+    q["s_funnel"] = s_funnel
+
     def s_trending_terms(spark, sf):
         """Streaming trending terms (streaming/incremental.py): real
         readStream -> watermark -> per-(window, token) count run via
@@ -2404,6 +2415,7 @@ _WINDOW_FIRST = [
     "tok_unigram_vocab",
     "tok_unigram_encode",
     "cur_duplicate_spans",
+    "s_funnel",
     # newest in r5 (pagerank, hot n-gram boilerplate mining, funnel)
     "g1_pagerank",
     "g1_pagerank_distributed",
@@ -4228,6 +4240,32 @@ SELECT d.doc_id,
        round(exp(p.nll), 4) AS ppl
 FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN per_doc p USING (doc_id)
+"""
+
+    # min-chain funnel mirrored: per-step min(ts) gated on the
+    # previous step's per-user time
+    o["s_funnel"] = """
+WITH s0 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s0 ON s0.u = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.u = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+  GROUP BY e.user_id
+)
+SELECT 0 AS step_ix, 'view' AS step, (SELECT count(*) FROM s0) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s2)
 """
 
     # streaming==batch: the same 10-minute tumbling window + token

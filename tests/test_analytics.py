@@ -312,3 +312,31 @@ def test_triangle_counts_hand_graph(spark):
     assert abs(out["d"].clustering - round(6 / 12, 6)) < 1e-9
     assert out["e"].triangles == 0 and out["e"].clustering == 0.0
     assert out["f"].triangles == 0 and out["f"].degree == 1
+
+
+def test_funnel_strict_ordering(spark):
+    """A user whose purchase precedes the view does NOT convert; a
+    properly ordered user converts through all steps."""
+    from graphrag_kb_server_spark.operators.funnel import funnel
+
+    rows = [
+        # u1: view -> click -> purchase (full conversion)
+        (1, "2026-01-01 10:00:00", "view"),
+        (1, "2026-01-01 10:05:00", "click"),
+        (1, "2026-01-01 10:10:00", "purchase"),
+        # u2: purchase BEFORE view -> stops at view
+        (2, "2026-01-01 09:00:00", "purchase"),
+        (2, "2026-01-01 10:00:00", "view"),
+        # u3: view -> click only
+        (3, "2026-01-01 11:00:00", "view"),
+        (3, "2026-01-01 11:01:00", "click"),
+        # u4: click only (no view): never enters
+        (4, "2026-01-01 12:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, ty) for u, t, ty in rows],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.step: r.n_users for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
