@@ -977,6 +977,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return k_core(edges, 2)
     q["g3_kcore"] = g3_kcore
 
+    def g_label_spread(spark, sf):
+        """Semi-supervised label spreading (operators/labelspread.py,
+        Zhou et al. 2004) over the embeddings' kNN graph: 25% of
+        vectors seed their label, diffusion fills the rest. Oracle:
+        kNN + symmetrize/normalize + 4 unrolled diffusion iterations
+        in SQL (9-dp per-iteration rounding on both sides)."""
+        from graphrag_kb_server_spark.operators.labelspread import (
+            label_spread,
+        )
+        from graphrag_kb_server_spark.operators.similarity import (
+            brute_force_topk_batch,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        knn = brute_force_topk_batch(
+            emb,
+            emb.select(F.col("vec_id").alias("qid"), "embedding"),
+            6, "vec_id", "qid",
+        ).where(F.col("id") != F.col("qid")).select(
+            F.col("qid").alias("src"), F.col("id").alias("tgt")
+        )
+        seeds = emb.where("vec_id % 4 = 0").select(
+            F.col("vec_id").alias("node"),
+            F.col("label").cast("string").alias("label"),
+        )
+        out = label_spread(knn, seeds, iters=4, alpha=0.8)
+        # readout rounded to 6 dp: the 9-dp per-iteration quantum can
+        # straddle an engine boundary (~1e-15 pre-rounding diffs);
+        # 6 dp absorbs a single-quantum intermediate divergence
+        return out.select(
+            F.col("node").alias("vec_id"), "pred_label",
+            F.round("score", 6).alias("score"),
+        )
+    q["g_label_spread"] = g_label_spread
+
     def g6_triangles(spark, sf):
         """Triangle counts + local clustering coefficient
         (operators/triangles.py, degree-ordered orientation) over the
@@ -2416,6 +2451,7 @@ _WINDOW_FIRST = [
     "tok_unigram_encode",
     "cur_duplicate_spans",
     "s_funnel",
+    "g_label_spread",
     # newest in r5 (pagerank, hot n-gram boilerplate mining, funnel)
     "g1_pagerank",
     "g1_pagerank_distributed",
@@ -3390,6 +3426,69 @@ SELECT component, count(*) AS size FROM cm GROUP BY component
 """
     # identical ground truth for the star-alternation formulation
     o["g3_components_star"] = o["g3_components"]
+
+    # label spreading unrolled: kNN (rank incl. self then excluded,
+    # mirroring the Spark filter order), random-walk normalization,
+    # 4 diffusion rounds with 9-dp rounding, argmax ties to larger lab
+    _ls_iters = []
+    for _i in range(4):
+        _ls_iters.append(f"""sc{_i + 1} AS MATERIALIZED (
+  SELECT node, lab, round(sum(sc), 9) AS sc FROM (
+    SELECT wn.t AS node, c.lab, 0.8 * c.sc * wn.wn AS sc
+    FROM sc{_i} c JOIN wn ON wn.s = c.node
+    UNION ALL
+    SELECT node, lab, sc FROM seed
+  ) GROUP BY node, lab
+)""")
+    o["g_label_spread"] = (
+        """
+WITH x AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),
+knn AS MATERIALIZED (
+  SELECT qid AS s, id AS t FROM (
+    SELECT q.vec_id AS qid, e.vec_id AS id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(e.v, q.v) DESC, e.vec_id
+           ) AS rn
+    FROM x e, x q
+  ) WHERE rn <= 6 AND id <> qid
+),
+sym AS MATERIALIZED (
+  SELECT s, t, max(w) AS w FROM (
+    SELECT s, t, 1.0 AS w FROM knn
+    UNION ALL SELECT t AS s, s AS t, 1.0 AS w FROM knn
+  ) GROUP BY s, t
+),
+st AS (SELECT s, sum(w) AS tot FROM sym GROUP BY s),
+wn AS MATERIALIZED (
+  SELECT sym.s, sym.t, sym.w / st.tot AS wn FROM sym JOIN st USING (s)
+),
+seed AS MATERIALIZED (
+  SELECT vec_id AS node, CAST(label AS VARCHAR) AS lab, 0.2 AS sc
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+sc0 AS (
+  SELECT vec_id AS node, CAST(label AS VARCHAR) AS lab, 1.0 AS sc
+  FROM embeddings WHERE vec_id % 4 = 0
+),
+"""
+        + ",\n".join(_ls_iters)
+        + """,
+best AS (
+  SELECT node, lab, sc,
+         row_number() OVER (
+           PARTITION BY node ORDER BY sc DESC, lab DESC
+         ) AS rn
+  FROM sc4
+),
+nodes AS (SELECT DISTINCT s AS node FROM sym)
+SELECT n.node AS vec_id, b.lab AS pred_label, round(b.sc, 6) AS score
+FROM nodes n
+LEFT JOIN (SELECT node, lab, sc FROM best WHERE rn = 1) b USING (node)
+"""
+    )
 
     # independent triangle derivation: id-ordered 3-way join (the Spark
     # side uses degree-ordered orientation — different algorithm, same

@@ -340,3 +340,29 @@ def test_funnel_strict_ordering(spark):
     out = {r.step: r.n_users for r in
            funnel(ev, ["view", "click", "purchase"]).collect()}
     assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_label_spread_two_blobs(spark):
+    """Two chain components, one seed each: every node adopts its
+    component's seed label; an isolated unreachable pair stays NULL."""
+    from graphrag_kb_server_spark.operators.labelspread import (
+        label_spread,
+    )
+
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a4"),
+         ("b1", "b2"), ("b2", "b3"),
+         ("c1", "c2")],  # no seed in this component
+        "src string, tgt string",
+    )
+    seeds = spark.createDataFrame(
+        [("a1", "pos"), ("b1", "neg")], "node string, label string")
+    out = {r.node: (r.pred_label, r.score) for r in
+           label_spread(edges, seeds, iters=6).collect()}
+    for n in ("a1", "a2", "a3", "a4"):
+        assert out[n][0] == "pos", (n, out[n])
+    for n in ("b1", "b2", "b3"):
+        assert out[n][0] == "neg"
+    assert out["c1"][0] is None and out["c2"][0] is None
+    # seed holds the strongest mass of its own label
+    assert out["a1"][1] > out["a4"][1]
