@@ -977,6 +977,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return k_core(edges, 2)
     q["g3_kcore"] = g3_kcore
 
+    def g_adamic_adar(spark, sf):
+        """Adamic-Adar link prediction (triangles.adamic_adar) over
+        the supplier-part graph: open-wedge join through the common
+        neighbor with 1/ln(deg) weights, existing edges excluded,
+        top-50. Oracle mirrors the derivation in SQL."""
+        from graphrag_kb_server_spark.operators.triangles import (
+            adamic_adar,
+        )
+
+        li = _t(spark, sf, "lineitem")
+        edges = li.where("l_orderkey % 97 = 0").select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("tgt"),
+        ).distinct()
+        return adamic_adar(edges, top_k=50)
+    q["g_adamic_adar"] = g_adamic_adar
+
     def g_label_spread(spark, sf):
         """Semi-supervised label spreading (operators/labelspread.py,
         Zhou et al. 2004) over the embeddings' kNN graph: 25% of
@@ -2452,6 +2469,7 @@ _WINDOW_FIRST = [
     "cur_duplicate_spans",
     "s_funnel",
     "g_label_spread",
+    "g_adamic_adar",
     # newest in r5 (pagerank, hot n-gram boilerplate mining, funnel)
     "g1_pagerank",
     "g1_pagerank_distributed",
@@ -3426,6 +3444,35 @@ SELECT component, count(*) AS size FROM cm GROUP BY component
 """
     # identical ground truth for the star-alternation formulation
     o["g3_components_star"] = o["g3_components"]
+
+    # Adamic-Adar mirrored: same wedge-through-common-neighbor
+    # derivation, same degree bounds and (aa desc, a, b) boundary
+    o["g_adamic_adar"] = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+                  'p' || CAST(l_partkey AS VARCHAR) AS b
+  FROM lineitem WHERE l_orderkey % 97 = 0
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0
+),
+dg AS (SELECT a AS w, count(*) AS dw FROM sym GROUP BY a),
+mid AS MATERIALIZED (
+  SELECT s.b AS w, s.a AS u, d.dw
+  FROM sym s JOIN dg d ON d.w = s.b
+  WHERE d.dw >= 2 AND d.dw <= 10000
+),
+scored AS (
+  SELECT x.u, y.u AS v, round(sum(1.0 / ln(x.dw)), 6) AS aa
+  FROM mid x JOIN mid y ON x.w = y.w AND x.u < y.u
+  GROUP BY x.u, y.u
+)
+SELECT s.u AS a, s.v AS b, s.aa
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = s.u AND sym.b = s.v)
+ORDER BY aa DESC, a, b
+LIMIT 50
+"""
 
     # label spreading unrolled: kNN (rank incl. self then excluded,
     # mirroring the Spark filter order), random-walk normalization,

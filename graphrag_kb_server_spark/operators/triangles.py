@@ -94,3 +94,65 @@ def triangle_counts(
         )
         .orderBy(F.desc("triangles"), "node")
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "tgt",
+    top_k: int = 50,
+    max_hub_degree: int = 10_000,
+) -> DataFrame:
+    """Adamic–Adar link prediction: for non-adjacent pairs (a, b),
+    ``AA = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w))`` — the classic
+    common-neighbor score (rare shared neighbors count more). Returns
+    the ``top_k`` candidate links (a < b, no existing edge) by
+    (score desc, a, b), score 6-dp rounded.
+
+    Scale shape: candidates come from the wedge join through the
+    common neighbor (two key-partitioned joins + one pair-keyed
+    aggregation — the triangle-counting machinery pointed at OPEN
+    wedges). Wedge volume is Σ deg(w)², so ``max_hub_degree`` excludes
+    super-hubs from the middle position — the standard cut, and nearly
+    free on the score: a 10^4-degree hub contributes 1/ln(10^4) ≈ 0.1
+    to every one of its 10^8 pairs, all noise. Degree-1 middles are
+    excluded by construction (they cannot join two distinct nodes).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    mid = (
+        sym.select(F.col("b").alias("w"), F.col("a").alias("u"))
+        .join(
+            deg.select(
+                F.col("a").alias("w"), F.col("d").alias("dw")
+            ).where(
+                (F.col("dw") >= 2) & (F.col("dw") <= max_hub_degree)
+            ),
+            "w",
+        )
+    )
+    wedges = mid.join(
+        mid.select(F.col("w"), F.col("u").alias("v")), "w"
+    ).where(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.round(F.sum(F.lit(1.0) / F.log("dw")), 6).alias("aa")
+    )
+    return (
+        scored.join(
+            sym.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .select(F.col("u").alias("a"), F.col("v").alias("b"), "aa")
+        .orderBy(F.desc("aa"), "a", "b")
+        .limit(top_k)
+    )

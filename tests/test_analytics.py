@@ -366,3 +366,23 @@ def test_label_spread_two_blobs(spark):
     assert out["c1"][0] is None and out["c2"][0] is None
     # seed holds the strongest mass of its own label
     assert out["a1"][1] > out["a4"][1]
+
+
+def test_adamic_adar(spark):
+    """Hand graph: x and y share two neighbors (m1 deg 2, m2 deg 3);
+    AA(x,y) = 1/ln(2) + 1/ln(3); existing edges excluded."""
+    import math
+
+    from graphrag_kb_server_spark.operators.triangles import adamic_adar
+
+    edges = [
+        ("x", "m1"), ("y", "m1"),            # m1 deg 2
+        ("x", "m2"), ("y", "m2"), ("z", "m2"),  # m2 deg 3
+        ("x", "z"),                           # existing edge x-z
+    ]
+    e = spark.createDataFrame(edges, "src string, tgt string")
+    out = {(r.a, r.b): r.aa for r in adamic_adar(e, top_k=20).collect()}
+    want_xy = round(1 / math.log(2) + 1 / math.log(3), 6)
+    assert out[("x", "y")] == want_xy
+    assert ("x", "z") not in out          # existing edge
+    assert out[("y", "z")] == round(1 / math.log(3), 6)  # via m2 only
