@@ -1020,12 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("label").cast("string").alias("label"),
         )
         out = label_spread(knn, seeds, iters=4, alpha=0.8)
-        # readout rounded to 6 dp: the 9-dp per-iteration quantum can
-        # straddle an engine boundary (~1e-15 pre-rounding diffs);
-        # 6 dp absorbs a single-quantum intermediate divergence
         return out.select(
-            F.col("node").alias("vec_id"), "pred_label",
-            F.round("score", 6).alias("score"),
+            F.col("node").alias("vec_id"), "pred_label", "score"
         )
     q["g_label_spread"] = g_label_spread
 
@@ -3513,7 +3509,8 @@ wn AS MATERIALIZED (
   SELECT sym.s, sym.t, sym.w / st.tot AS wn FROM sym JOIN st USING (s)
 ),
 seed AS MATERIALIZED (
-  SELECT vec_id AS node, CAST(label AS VARCHAR) AS lab, 0.2 AS sc
+  SELECT vec_id AS node, CAST(label AS VARCHAR) AS lab,
+         (1.0 - 0.8) AS sc
   FROM embeddings WHERE vec_id % 4 = 0
 ),
 sc0 AS (
@@ -3524,16 +3521,16 @@ sc0 AS (
         + ",\n".join(_ls_iters)
         + """,
 best AS (
-  SELECT node, lab, sc,
+  SELECT node, lab, round(sc, 6) AS sc6,
          row_number() OVER (
-           PARTITION BY node ORDER BY sc DESC, lab DESC
+           PARTITION BY node ORDER BY round(sc, 6) DESC, lab DESC
          ) AS rn
   FROM sc4
 ),
 nodes AS (SELECT DISTINCT s AS node FROM sym)
-SELECT n.node AS vec_id, b.lab AS pred_label, round(b.sc, 6) AS score
+SELECT n.node AS vec_id, b.lab AS pred_label, b.sc6 AS score
 FROM nodes n
-LEFT JOIN (SELECT node, lab, sc FROM best WHERE rn = 1) b USING (node)
+LEFT JOIN (SELECT node, lab, sc6 FROM best WHERE rn = 1) b USING (node)
 """
     )
 

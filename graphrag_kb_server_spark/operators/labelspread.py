@@ -62,10 +62,14 @@ def label_spread(
         .select("s", "t", (F.col("w") / F.col("_tot")).alias("wn"))
         .localCheckpoint(eager=True)
     )
+    # the seed mass literal must be the IDENTICAL double on every
+    # engine: the oracle computes (1.0 - alpha) too, not a decimal
+    # constant (0.2 != float64(1.0 - 0.8) by 5.6e-17 — enough to
+    # straddle a rounding boundary once per ~10^6 sums)
     seed = seeds.select(
         F.col(node_col).alias("node"),
         F.col(label_col).cast("string").alias("lab"),
-        F.lit(1.0 - alpha).alias("sc"),
+        F.lit(1.0 - float(alpha)).alias("sc"),
     ).localCheckpoint(eager=True)
 
     scores = seeds.select(
@@ -88,14 +92,21 @@ def label_spread(
             .agg(F.round(F.sum("sc"), 9).alias("sc"))
             .localCheckpoint(eager=False)
         )
-    best = scores.groupBy("node").agg(
-        F.max(F.struct("sc", "lab")).alias("_b")
+    # argmax on the 6-dp READOUT quantum: at 9 dp a cross-engine
+    # rounding straddle between two near-tied labels could flip the
+    # prediction even when both scores survive the readout rounding
+    best = (
+        scores.select(
+            "node", "lab", F.round("sc", 6).alias("sc6")
+        )
+        .groupBy("node")
+        .agg(F.max(F.struct("sc6", "lab")).alias("_b"))
     )
-    all_nodes = (
-        sym.select(F.col("s").alias("node")).distinct()
-    )
+    # wnorm is the eager checkpoint and carries every sym source —
+    # re-deriving nodes from sym would recompute the symmetrization
+    all_nodes = wnorm.select(F.col("s").alias("node")).distinct()
     return all_nodes.join(best, "node", "left").select(
         "node",
         F.col("_b.lab").alias("pred_label"),
-        F.col("_b.sc").alias("score"),
+        F.col("_b.sc6").alias("score"),
     )

@@ -29,12 +29,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "tgt"
-) -> DataFrame:
-    """(node, degree, triangles, clustering) over the simple undirected
-    graph; clustering = 2T/(d(d-1)) rounded to 6 dp (0.0 for d < 2),
-    sorted by triangles desc."""
+def _sym_deg(edges: DataFrame, src: str, dst: str):
+    """Canonical simple-undirected form shared by every op here:
+    (checkpointed symmetric edge set with self-loops dropped, degree
+    frame). One definition so dedup/self-loop conventions cannot
+    drift between triangle counting and link prediction."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -46,6 +45,16 @@ def triangle_counts(
         .localCheckpoint(eager=True)
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    return sym, deg
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "tgt"
+) -> DataFrame:
+    """(node, degree, triangles, clustering) over the simple undirected
+    graph; clustering = 2T/(d(d-1)) rounded to 6 dp (0.0 for d < 2),
+    sorted by triangles desc."""
+    sym, deg = _sym_deg(edges, src, dst)
 
     # orient: keep (a,b) iff (deg_a, a) < (deg_b, b) — a strict total
     # order, so each undirected edge survives exactly once
@@ -118,17 +127,9 @@ def adamic_adar(
     to every one of its 10^8 pairs, all noise. Degree-1 middles are
     excluded by construction (they cannot join two distinct nodes).
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .unionByName(
-            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-            .where(F.col("a") != F.col("b"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    sym, deg = _sym_deg(edges, src, dst)
+    # checkpoint the wedge input: the self-join below would otherwise
+    # recompute the degree aggregation + join on both sides
     mid = (
         sym.select(F.col("b").alias("w"), F.col("a").alias("u"))
         .join(
@@ -139,6 +140,7 @@ def adamic_adar(
             ),
             "w",
         )
+        .localCheckpoint(eager=False)
     )
     wedges = mid.join(
         mid.select(F.col("w"), F.col("u").alias("v")), "w"
