@@ -1752,6 +1752,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "lang")
     q["sample_temperature"] = sample_temperature
 
+    def sample_group_split(spark, sf):
+        """Group-aware 3-way split (sampling.group_split): every doc of
+        a source/domain lands in one split — the domain-leakage guard.
+        Oracle mirrors the cumulative hash intervals with the SAME
+        float additions (0.1, 0.1+0.7, ...), per-split doc and group
+        counts."""
+        from graphrag_kb_server_spark.operators.sampling import (
+            group_split,
+        )
+
+        docs = _t(spark, sf, "documents")
+        out = group_split(
+            docs, "source", {"train": 0.7, "val": 0.2, "test": 0.1},
+            seed="19",
+        )
+        return out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+        )
+    q["sample_group_split"] = sample_group_split
+
     def sample_weighted(spark, sf):
         """Efraimidis-Spirakis weighted sampling without replacement
         (sampling.weighted_sample): key = ln(u)/w row-local, top-k via
@@ -2466,6 +2487,7 @@ _WINDOW_FIRST = [
     "s_funnel",
     "g_label_spread",
     "g_adamic_adar",
+    "sample_group_split",
     # newest in r5 (pagerank, hot n-gram boilerplate mining, funnel)
     "g1_pagerank",
     "g1_pagerank_distributed",
@@ -4713,6 +4735,26 @@ r AS (
 SELECT d.doc_id, d.lang
 FROM documents d JOIN r USING (lang)
 WHERE {_u.format(op='tsample', seed='11')} < r.rate
+"""
+
+    # group split mirrored: the hash is keyed on the GROUP (source),
+    # thresholds computed with the same float additions in sorted-name
+    # order (test, train, val)
+    _gu = (
+        "CAST(concat('0x', substr(md5(source || chr(31) "
+        "|| 'gsplit' || chr(31) || '19'), 1, 8)) AS BIGINT) / 4294967296.0"
+    )
+    o["sample_group_split"] = f"""
+WITH s AS (
+  SELECT source,
+         CASE WHEN {_gu} < 0.1 THEN 'test'
+              WHEN {_gu} < (0.1 + 0.7) THEN 'train'
+              WHEN {_gu} < (0.1 + 0.7 + 0.2) THEN 'val'
+              ELSE 'val' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_groups
+FROM s GROUP BY split
 """
 
     # Efraimidis-Spirakis keys mirrored exactly: same md5-slice u, same

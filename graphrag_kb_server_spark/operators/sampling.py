@@ -342,6 +342,42 @@ def domain_cap(
     )
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    seed: str = "42",
+    split_col: str = "split",
+) -> DataFrame:
+    """Group-aware split: EVERY row of a group (domain, author, site)
+    lands in the same split — the leakage guard a plain per-row split
+    misses (near-identical pages from one host straddling train/val
+    make eval numbers lie). ``fractions`` maps split name → fraction;
+    names are assigned over cumulative hash-threshold intervals in
+    sorted-name order, so the spec is deterministic data, not code.
+
+    Row-local like every op here: the split is a pure function of
+    md5(group, seed) — no shuffle, no group table, stable across
+    engines and reruns."""
+    total = sum(fractions.values())
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = _unit_hash(F.col(group_col), _op_seed("gsplit", seed))
+    expr = None
+    acc = 0.0
+    for name, frac in sorted(fractions.items()):
+        acc += float(frac)
+        cond = u < F.lit(acc)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    # float accumulation can land acc at 0.9999...: close the interval
+    last = sorted(fractions)[-1]
+    return df.withColumn(split_col, expr.otherwise(F.lit(last)))
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -387,3 +387,30 @@ def test_weighted_sample_respects_weights(spark):
     # heavy items are 10/110 of rows with 10x weight: inclusion rate
     # should be several times the light rate per item
     assert heavy / 10 > 3 * (light / 100)
+
+
+def test_group_split_no_leakage(spark):
+    from graphrag_kb_server_spark.operators.sampling import group_split
+
+    docs = spark.createDataFrame(
+        [(i, f"host{i % 23}") for i in range(900)],
+        "doc_id long, domain string",
+    )
+    out = group_split(
+        docs, "domain", {"train": 0.7, "val": 0.2, "test": 0.1}, seed="3"
+    )
+    # every group entirely inside ONE split
+    leak = (
+        out.select("domain", "split").distinct()
+        .groupBy("domain").count().where("count > 1").count()
+    )
+    assert leak == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # deterministic across partitionings
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in
+         group_split(docs.repartition(7), "domain",
+                     {"train": 0.7, "val": 0.2, "test": 0.1},
+                     seed="3").collect()}
+    assert a == b
