@@ -1162,6 +1162,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id")
     q["dedup_incremental_probe"] = dedup_incremental_probe
 
+    def dedup_domain_dup_mass(spark, sf):
+        """Per-domain duplicate-mass audit: the fraction of each
+        domain's docs that are non-canonical near-dup copies
+        (minhash_cluster_ids composed with the domain key) — the KPI
+        that justifies a domain cap. Oracle composes the LSH/CC
+        component map with the same per-domain aggregation."""
+        from graphrag_kb_server_spark.operators.dedup import (
+            minhash_cluster_ids,
+        )
+        from graphrag_kb_server_spark.operators.sampling import url_domain
+
+        docs = _t(spark, sf, "documents")
+        clustered = minhash_cluster_ids(docs, "text", "doc_id").join(
+            docs.select("doc_id", url_domain(F.col("source")).alias("domain")),
+            "doc_id",
+        )
+        return clustered.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_dup_copies"),
+            F.round(
+                F.avg(
+                    F.when(F.col("doc_id") != F.col("cluster_id"), 1.0)
+                    .otherwise(0.0)
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    q["dedup_domain_dup_mass"] = dedup_domain_dup_mass
+
     def dedup_cluster_ids(spark, sf):
         """Near-dup cluster assignment (dedup.minhash_cluster_ids):
         every doc labeled with its duplicate component's min id
@@ -2488,6 +2519,7 @@ _WINDOW_FIRST = [
     "g_label_spread",
     "g_adamic_adar",
     "sample_group_split",
+    "dedup_domain_dup_mass",
     # newest in r5 (pagerank, hot n-gram boilerplate mining, funnel)
     "g1_pagerank",
     "g1_pagerank_distributed",
@@ -3806,6 +3838,24 @@ hit AS (
 )
 SELECT doc_id FROM documents
 WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT id FROM hit)
+"""
+
+    # dup-mass audit: the component map joined to the domain key; a
+    # doc is a dup copy iff its component label is not itself
+    o["dedup_domain_dup_mass"] = _mh_head + """
+cl AS (SELECT node, comp FROM cm),
+lab AS (
+  SELECT d.doc_id, lower(d.source) AS domain,
+         coalesce(cl.comp, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+)
+SELECT domain,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_copies,
+       round(avg(CASE WHEN doc_id <> cluster_id THEN 1.0 ELSE 0.0 END), 6)
+         AS dup_frac
+FROM lab GROUP BY domain
 """
 
     # cluster map: every doc -> min id of its dup component (cm's comp
