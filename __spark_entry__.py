@@ -1647,6 +1647,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lm_perplexity(docs, "doc_id", "text", k=0.1)
     q["text_lm_perplexity"] = text_lm_perplexity
 
+    def text_iqr_filter(spark, sf):
+        """Per-language Tukey-fence length filter
+        (textstats.iqr_outlier_filter): group-relative bounds instead
+        of a global magic threshold. Oracle: quantile_cont fences +
+        the same BETWEEN in SQL."""
+        from graphrag_kb_server_spark.operators.textstats import (
+            iqr_outlier_filter,
+        )
+
+        docs = _t(spark, sf, "documents")
+        out = iqr_outlier_filter(docs, "lang", "n_chars", k=1.5)
+        return out.select("doc_id", "lang", "n_chars", "lo", "hi")
+    q["text_iqr_filter"] = text_iqr_filter
+
     def text_corpus_profile(spark, sf):
         """Per-language length profile (textstats.corpus_profile):
         exact linear-interpolation quantiles via F.percentile — one
@@ -2520,6 +2534,7 @@ _WINDOW_FIRST = [
     "g_adamic_adar",
     "sample_group_split",
     "dedup_domain_dup_mass",
+    "text_iqr_filter",
     # newest in r5 (pagerank, hot n-gram boilerplate mining, funnel)
     "g1_pagerank",
     "g1_pagerank_distributed",
@@ -4497,6 +4512,27 @@ t AS (SELECT ts, unnest(l) AS token FROM d)
 SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_epoch,
        token, count(*) AS n
 FROM t GROUP BY 1, 2 HAVING count(*) >= 5
+"""
+
+    # Tukey fences mirrored: exact quantiles, 6-dp rounded bounds,
+    # inclusive BETWEEN on both sides
+    o["text_iqr_filter"] = """
+WITH f AS (
+  SELECT lang,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25)
+               - 1.5 * (quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+                        - quantile_cont(CAST(n_chars AS DOUBLE), 0.25)),
+               6) AS lo,
+         round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+               + 1.5 * (quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+                        - quantile_cont(CAST(n_chars AS DOUBLE), 0.25)),
+               6) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, f.lo, f.hi
+FROM documents d JOIN f USING (lang)
+WHERE CAST(d.n_chars AS DOUBLE) >= f.lo
+  AND CAST(d.n_chars AS DOUBLE) <= f.hi
 """
 
     # exact-quantile parity: quantile_cont = the same linear

@@ -367,6 +367,47 @@ def tfidf_top_terms(
     )
 
 
+def iqr_outlier_filter(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier filter per group: keep rows with
+    ``value ∈ [q1 − k·IQR, q3 + k·IQR]`` computed within their group —
+    the distribution-aware length/quality filter that replaces global
+    magic thresholds (a 300-char Chinese doc and a 300-char German doc
+    sit at very different percentiles).
+
+    One exact-percentile aggregation per group (rows = #groups) joined
+    back as a broadcast; the filter itself is row-local. Adds
+    ``lo``/``hi`` bound columns for auditability. Exact percentiles
+    keep the bounds engine-portable (DuckDB quantile_cont parity);
+    swap approx_percentile at 100 TB, same contract.
+    """
+    v = F.col(value_col).cast("double")
+    fences = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile(v, F.lit(0.25)).alias("_q1"),
+            F.percentile(v, F.lit(0.75)).alias("_q3"),
+        )
+        .select(
+            group_col,
+            F.round(
+                F.col("_q1") - k * (F.col("_q3") - F.col("_q1")), 6
+            ).alias("lo"),
+            F.round(
+                F.col("_q3") + k * (F.col("_q3") - F.col("_q1")), 6
+            ).alias("hi"),
+        )
+    )
+    return (
+        df.join(F.broadcast(fences), group_col)
+        .where((v >= F.col("lo")) & (v <= F.col("hi")))
+    )
+
+
 def corpus_profile(
     df: DataFrame,
     group_col: str,

@@ -633,3 +633,25 @@ def test_minhash_dedup_winner_rule(spark):
               .select("doc_id").collect()}
     assert default == {1, 3}   # min id kept
     assert winner == {2, 3}    # longest kept
+
+
+def test_iqr_outlier_filter(spark):
+    """Per-group fences: the same value survives in a wide group and
+    is cut in a tight one; bounds surfaced for audit."""
+    from graphrag_kb_server_spark.operators.textstats import (
+        iqr_outlier_filter,
+    )
+
+    rows = [("tight", float(v)) for v in
+            [100, 101, 102, 103, 104, 105, 106, 107]]
+    rows += [("tight", 500.0)]          # extreme in the tight group
+    rows += [("wide", float(v)) for v in
+             [100, 200, 300, 400, 500, 600, 700, 800]]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = iqr_outlier_filter(df, "grp", "v", k=1.5)
+    kept = {(r.grp, r.v) for r in out.collect()}
+    assert ("tight", 500.0) not in kept
+    assert ("wide", 500.0) in kept
+    assert len([1 for g, _ in kept if g == "tight"]) == 8
+    bounds = {r.grp: (r.lo, r.hi) for r in out.collect()}
+    assert bounds["tight"][1] < 500 < bounds["wide"][1]
