@@ -99,6 +99,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: deterministic high-cardinality repartition key per driver table
+_TP_KEY = {
+    "lineitem": "l_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parallelized table read. The sf dirs ship each table as ONE
+    parquet file with ONE row group, so a plain scan — and the partial
+    aggregation / Python stage Catalyst fuses into it — runs as a
+    single task on one core. For compute-heavy consumers a hash
+    repartition on a stable key right after the read restores
+    parallelism (guide §2.5: input skew → repartition immediately
+    after the read); hash instead of round-robin avoids the
+    sort-before-repartition pass and is deterministic under task
+    retry. No-op when the scan already has enough partitions (real
+    multi-file tables at scale), so the exchange only exists where the
+    one-file layout created the bottleneck. Opt-in per call site:
+    for sub-second aggregation-only entries the extra exchange costs
+    more than the parallelism buys (measured, OPTIMIZATION_r06.md)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(_TP_KEY[name]))
+    return df
+
+
 # ──────────────────────────────────────────────────────────────────────
 # Shared adapters: drive the KG operators with driver-table inputs so
 # the DuckDB oracle can recompute them in pure SQL.
@@ -107,7 +136,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _mentions_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem → the mentions shape (T3 output) with Zipf-ish key skew:
     subj/obj = supplier/part keys, chunk = order, weight = quantity."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     return li.select(
         F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("chunk_id"),
         F.concat(F.lit("d"), F.col("l_orderkey").cast("string")).alias("doc_id"),
@@ -397,7 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = dedup_exact
 
     def dedup_minhash_signature(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _tp(spark, sf, "documents")
         # staged projections: shingles → ONE md5 per shingle → 8 slice
         # minima. The hex stage stays its own project (CollapseProject
         # keeps multiply-referenced non-cheap exprs separate), so the
@@ -413,14 +442,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_signature"] = dedup_minhash_signature
 
     def dedup_jaccard_pairs(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _tp(spark, sf, "documents")
         return ngram_jaccard_pairs(
             docs, "text", "doc_id", shingle_words=3, threshold=0.2
         ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     q["dedup_jaccard_pairs"] = dedup_jaccard_pairs
 
     def dedup_embedding_pairs(spark, sf):
-        emb = _t(spark, sf, "embeddings")
+        emb = _tp(spark, sf, "embeddings")
         return embedding_near_dup_pairs(
             emb, "vec_id", vec_col="embedding", threshold=0.2,
             n_planes=_NEAR_DUP_PLANES, seed=_NEAR_DUP_SEED,
@@ -436,7 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text stats ----
     def text_quality(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _tp(spark, sf, "documents")
         return TS.quality_features(docs, "text").select(
             "doc_id", F.col("n_chars").cast("bigint").alias("nchars"),
             F.col("n_words").cast("bigint").alias("nwords"),
@@ -445,7 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = text_quality
 
     def text_lang_id(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _tp(spark, sf, "documents")
         return TS.add_language_id(docs).select("doc_id", "lang_pred")
     q["text_lang_id"] = text_lang_id
 

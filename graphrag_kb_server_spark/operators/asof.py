@@ -55,6 +55,17 @@ def asof_join(
     """
     rt = right_time or left_time
     payload = [c for c in right.columns if c not in (key, rt)]
+    clash = [c for c in payload if c in left.columns] + (
+        ["asof_time"] if "asof_time" in left.columns else []
+    )
+    if clash:
+        # duplicate output column names would make every downstream
+        # select ambiguous (ADVICE r5) — fail loudly; the caller
+        # renames (pandas merge_asof-style suffixing is a rename away)
+        raise ValueError(
+            f"asof_join: right payload column(s) {clash} collide with "
+            "left columns — rename one side before joining"
+        )
     rv = F.struct(
         F.col(rt).alias("asof_time"), *[F.col(c) for c in payload]
     )

@@ -67,6 +67,11 @@ def degree_centrality(
             "name", F.coalesce("degree", F.lit(0)).alias("degree")
         )
     else:
+        # lazy checkpoint: the n-count action below materializes deg
+        # once; without it the returned frame would replay the full
+        # edges scan + aggregation a second time (two computations for
+        # one output)
+        deg = deg.localCheckpoint(eager=False)
         n = deg.count()
     denom = float(max(n - 1, 1))
     return deg.select(
@@ -74,11 +79,94 @@ def degree_centrality(
     ).orderBy(F.desc("centrality"), "name")
 
 
+def _betweenness_driver(
+    spark, sym_pdf, num_sources: int | None, seed: int, max_depth: int,
+    name_dt,
+) -> DataFrame:
+    """Driver-side twin of the batched-BFS Brandes rounds for small
+    graphs: same seeded md5 source draw, same ≤max_depth level
+    truncation, same dependency rule delta(v) += σ(v)/σ(w)·(1+delta(w))
+    over (level d → d−1) adjacencies, same undirected /2 halving.
+    σ values are integer-valued path counts (exact in doubles); the
+    delta accumulation order differs from the distributed shuffle sums
+    only at float ULP level, which the callers' 4-dp rounding absorbs
+    (the DuckDB oracles already tolerate the distributed path's own
+    nondeterministic sum order)."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import types as T
+
+    adj: dict = defaultdict(list)
+    for a, b in zip(sym_pdf["a"], sym_pdf["b"]):
+        adj[a].append(b)
+    nodes = sorted(adj)
+    if num_sources is None:
+        sources = nodes
+    else:
+        sources = sorted(
+            nodes,
+            key=lambda n: hashlib.md5(
+                (str(seed) + n).encode("utf-8")
+            ).hexdigest(),
+        )[:num_sources]
+    scores: dict = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        levels = [[s]]
+        frontier = [s]
+        d = 0
+        while frontier and d < max_depth:
+            d += 1
+            nxt: list = []
+            for v in levels[-1]:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = d
+                        sigma[w] = 0.0
+                        nxt.append(w)
+            if not nxt:
+                break
+            for v in levels[-1]:
+                sv = sigma[v]
+                for w in adj[v]:
+                    if dist.get(w) == d:
+                        sigma[w] += sv
+            levels.append(nxt)
+        delta: dict = defaultdict(float)
+        for d in range(len(levels) - 1, 0, -1):
+            for w in levels[d]:
+                dw = 1.0 + delta[w]
+                sw = sigma[w]
+                for p in adj[w]:
+                    if dist.get(p) == d - 1:
+                        delta[p] += sigma[p] / sw * dw
+            for v in levels[d - 1]:
+                if v != s:
+                    scores[v] += delta[v]
+    rows = [
+        (n, scores.get(n, 0.0) / 2.0)
+        for n in nodes
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("name", name_dt),
+                T.StructField("centrality", T.DoubleType()),
+            ]
+        ),
+    )
+
+
 def approx_betweenness(
     edges: DataFrame,
     num_sources: int | None = 16,
     seed: int = 42,
     max_depth: int = 12,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """Sampled-source betweenness over the undirected graph.
 
@@ -97,6 +185,27 @@ def approx_betweenness(
     e = edges.select(F.col("src").alias("a"), F.col("tgt").alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=False)
+
+    # Size-adaptive execution (the LPA/components/pagerank pattern):
+    # each distributed BFS level is 2 joins + an aggregation and the
+    # backward pass 3 joins per level — ~40 shuffle stages of
+    # scheduling for a graph whose Brandes rounds take milliseconds
+    # in-process. At or below the threshold the identical batched-BFS
+    # rules run driver-side over one Arrow collect (string ids only —
+    # the md5 source draw must hash the same bytes);
+    # tests/test_r06_driver_parity.py pins driver == distributed.
+    # 0 forces the distributed rounds.
+    if (
+        small_graph_threshold > 0
+        and sym.schema["a"].dataType.simpleString() == "string"
+    ):
+        pdf = sym.limit(small_graph_threshold + 1).toPandas()
+        if len(pdf) <= small_graph_threshold:
+            return _betweenness_driver(
+                edges.sparkSession, pdf, num_sources, seed, max_depth,
+                sym.schema["a"].dataType,
+            )
+
     nodes = sym.select(F.col("a").alias("name")).distinct()
 
     if num_sources is None:
@@ -283,31 +392,44 @@ def pagerank(
         )
     else:
         all_nodes = nodes.select("name").distinct()
-    # out-normalized edges: contribution fraction per (src, dst)
-    out_tot = e.groupBy("_s").agg(F.sum("_w").alias("_tot"))
+    # out-normalized edges: contribution fraction per (src, dst).
+    # Sources whose total edge weight is 0 are excluded HERE so they
+    # fall into the dangling anti-join below instead of producing
+    # NULL/NaN fractions that silently destroy rank mass (ADVICE r5).
+    out_tot = e.groupBy("_s").agg(F.sum("_w").alias("_tot")).where(
+        F.col("_tot") != 0
+    )
+    # LAZY checkpoints: the counts just below are the first actions and
+    # materialize them — eager=True here would pay two extra driver
+    # jobs for the same materialization
     frac = (
         e.join(out_tot, "_s")
         .select("_s", "_t", (F.col("_w") / F.col("_tot")).alias("_f"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    all_nodes = all_nodes.localCheckpoint(eager=True)
+    all_nodes = all_nodes.localCheckpoint(eager=False)
     n = all_nodes.count()
     if n == 0:
         return all_nodes.select(
             F.col("name"), F.lit(0.0).alias("rank")
         )
-    # dangling = nodes with no out-edge (weight-sum 0 counts as none)
+    n_edges = frac.count()
+    if n_edges <= driver_edge_threshold:
+        # the driver path derives its own dangling mask from the
+        # collected frac (has_out), so the dangling frame below —
+        # previously an eager checkpoint paid before this branch —
+        # is only built for the distributed rounds
+        return _pagerank_driver(
+            edges.sparkSession, all_nodes, frac, damping, iterations, n
+        )
+
+    # dangling = nodes with no out-edge (weight-sum 0 counts as none —
+    # zero-total sources were filtered out of out_tot above)
     dangling = all_nodes.join(
         frac.select(F.col("_s").alias("name")).distinct(),
         "name",
         "left_anti",
     ).localCheckpoint(eager=True)
-
-    n_edges = frac.count()
-    if n_edges <= driver_edge_threshold:
-        return _pagerank_driver(
-            edges.sparkSession, all_nodes, frac, damping, iterations, n
-        )
 
     ranks = all_nodes.select(
         "name", (F.lit(1.0) / F.lit(float(n))).alias("rank")

@@ -32,6 +32,53 @@ from .components import connected_components
 #: md5-hash parity equals r % stride (see label_propagation docstring)
 LPA_STRIDE = 3
 
+#: weak-keyed per-DataFrame memo for _edge_frames — lets the standard
+#: LPA→refine composition share ONE materialization of the caller's
+#: edges plan (a whole KG build in the bench's case) instead of each
+#: operator re-checkpointing its own copy. Entries die with the edges
+#: DataFrame object; a fresh frame (every bench repeat) memoizes anew,
+#: so nothing persists across runs.
+_EDGE_FRAMES_MEMO: "weakref.WeakKeyDictionary" = None  # set below
+
+
+def _edge_frames(
+    edges: DataFrame, src: str, dst: str, weight: str | None
+) -> tuple[DataFrame, DataFrame]:
+    """(e, sym) for an edges frame: ``e`` = the (a, b, w) projection
+    (lazy checkpoint), ``sym`` = both directions + voter parity
+    (eager checkpoint — its materialization also caches ``e``, whose
+    RDD is part of its lineage). Memoized per edges DataFrame OBJECT
+    so label_propagation + modularity_refine over the same frame pay
+    the upstream edge build once."""
+    global _EDGE_FRAMES_MEMO
+    if _EDGE_FRAMES_MEMO is None:
+        import weakref
+
+        _EDGE_FRAMES_MEMO = weakref.WeakKeyDictionary()
+    key = (src, dst, weight)
+    per = _EDGE_FRAMES_MEMO.get(edges)
+    if per is not None and key in per:
+        return per[key]
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+    ).localCheckpoint(eager=False)
+    sym = (
+        e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .withColumn("_par", _lpa_parity(F.col("a")))
+        .localCheckpoint(eager=True)
+    )
+    if per is None:
+        per = {}
+        try:
+            _EDGE_FRAMES_MEMO[edges] = per
+        except TypeError:
+            pass  # non-weakrefable frame: just skip memoization
+    per[key] = (e, sym)
+    return e, sym
+
 
 def _lpa_parity(node_col) -> F.Column:
     """Deterministic node parity in [0, LPA_STRIDE): first 8 hex chars
@@ -42,57 +89,110 @@ def _lpa_parity(node_col) -> F.Column:
     )
 
 
+def _node_parities(names) -> "np.ndarray":
+    """md5-parity per node name — the same bytes both execution paths
+    hash (numpy import deferred; names is a sorted numpy object
+    array)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.fromiter(
+        (
+            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % LPA_STRIDE
+            for s in names
+        ),
+        dtype=np.int64,
+        count=len(names),
+    )
+
+
 def _label_propagation_driver(sym: DataFrame, max_iterations: int) -> DataFrame:
     """Driver-side twin of the distributed semi-synchronous rounds:
     same parity mask, same (wsum desc, label asc) adoption, same
     full-sweep convergence check — collected once, returned as a
-    DataFrame with the caller's string schema."""
-    import hashlib
-    from collections import defaultdict
+    DataFrame with the caller's string schema.
 
-    adj: dict[str, list] = defaultdict(list)
+    Vectorized (r6): the per-round vote is a grouped scatter-add over
+    (voter, neighbor-label) keys instead of a Python dict loop —
+    ~10x on the bench KG graphs. BIT-IDENTICAL to the loop it
+    replaces: labels are encoded as indices into the SORTED node
+    vocabulary (int order == lexicographic order, so every min/<
+    tie-break is unchanged), and the per-key weight accumulation runs
+    through ``np.add.at`` (strictly element-ordered, no pairwise
+    reassociation) over rows sorted by (voter, label, neighbor) — the
+    same b-ascending addition order the dict loop used via its sorted
+    adjacency lists, so even fractional weight sums come out to the
+    identical float."""
+    import numpy as np
+
     pdf = sym.select("a", "b", "w").toPandas()  # Arrow batch, not Rows
-    for a, b, w in zip(pdf["a"], pdf["b"], pdf["w"]):
-        adj[a].append((b, float(w)))
-    for lst in adj.values():
-        lst.sort()  # deterministic accumulation order
-    nodes = sorted(adj)
-    par = {
-        n: int(hashlib.md5(n.encode("utf-8")).hexdigest()[:8], 16) % LPA_STRIDE
-        for n in nodes
-    }
-    labels = {n: n for n in nodes}
+    av = pdf["a"].to_numpy()
+    names = np.unique(av)  # sorted vocabulary (== sorted(adj) before)
+    a = np.searchsorted(names, av)
+    b = np.searchsorted(names, pdf["b"].to_numpy())
+    w = pdf["w"].to_numpy(dtype=np.float64)
+    order = np.lexsort((b, a))
+    a, b, w = a[order], b[order], w[order]
+    n = len(names)
+    par = _node_parities(names)
+    edge_par = par[a]
+    labels = np.arange(n, dtype=np.int64)
+
     it = 0
     while it < max_iterations:
         group = min(LPA_STRIDE, max_iterations - it)
         changed = 0
         for _ in range(group):
             active = it % LPA_STRIDE
-            new = dict(labels)
-            for n in nodes:
-                if par[n] != active:
-                    continue
-                votes: dict[str, float] = defaultdict(float)
-                for nb, w in adj[n]:
-                    votes[labels[nb]] += w
-                bw = max(votes.values())
-                cands = [l for l, v in votes.items() if v == bw]
-                # prefer the current label on ties (stability: without
-                # it, all-tie neighborhoods like cliques rotate labels
-                # across parity classes forever), then lexicographic min
-                pick = labels[n] if labels[n] in cands else min(cands)
-                if pick != labels[n]:
-                    changed += 1
-                new[n] = pick
-            labels = new
+            mask = edge_par == active
+            if not mask.any():
+                it += 1
+                continue
+            aa, bb, ww = a[mask], b[mask], w[mask]
+            lb = labels[bb]
+            o = np.lexsort((bb, lb, aa))
+            aa, lb, ww = aa[o], lb[o], ww[o]
+            new_key = np.empty(aa.size, dtype=bool)
+            new_key[0] = True
+            np.logical_or(aa[1:] != aa[:-1], lb[1:] != lb[:-1], out=new_key[1:])
+            key_id = np.cumsum(new_key) - 1
+            wsum = np.zeros(key_id[-1] + 1)
+            np.add.at(wsum, key_id, ww)  # element-ordered, b-ascending
+            starts = np.flatnonzero(new_key)
+            ga, gl = aa[starts], lb[starts]
+            a_new = np.empty(ga.size, dtype=bool)
+            a_new[0] = True
+            np.not_equal(ga[1:], ga[:-1], out=a_new[1:])
+            astarts = np.flatnonzero(a_new)
+            seg = np.cumsum(a_new) - 1
+            bw = np.maximum.reduceat(wsum, astarts)  # max is order-free
+            is_cand = wsum == bw[seg]
+            # keys sorted by label within each voter segment → the
+            # first candidate key per segment carries min(cands)
+            cand_pos = np.flatnonzero(is_cand)
+            first_of_seg = np.unique(seg[cand_pos], return_index=True)[1]
+            min_cand = gl[cand_pos[first_of_seg]]
+            ua = ga[astarts]
+            cur = labels[ua]
+            cur_in = np.zeros(ua.size, dtype=bool)
+            cur_in[seg[np.flatnonzero(is_cand & (gl == labels[ga]))]] = True
+            pick = np.where(cur_in, cur, min_cand)
+            changed += int(np.count_nonzero(pick != cur))
+            labels[ua] = pick
             it += 1
         if changed == 0:
             break
     dt = sym.schema["a"].dataType
     from pyspark.sql import types as T
 
+    import pandas as pd
+
+    out_pdf = pd.DataFrame(
+        {"node": names, "label": names[labels]}
+    )
     return sym.sparkSession.createDataFrame(
-        [(n, labels[n]) for n in nodes],
+        out_pdf,
         T.StructType(
             [T.StructField("node", dt), T.StructField("label", dt)]
         ),
@@ -128,17 +228,13 @@ def label_propagation(
     changed across a full sweep" — a true global fixpoint of the
     semi-sync rule — is what terminates the loop.
     """
-    w = F.col(weight) if weight else F.lit(1.0)
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
     # the voter's parity class is computed ONCE here and stored in the
     # checkpoint: the per-round active-class filter is then an int
     # comparison over checkpointed rows instead of md5+conv re-evaluated
-    # on every edge every round (VERDICT r4 item 3)
-    sym = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
-        .withColumn("_par", _lpa_parity(F.col("a")))
-        .localCheckpoint(eager=True)
-    )
+    # on every edge every round (VERDICT r4 item 3). _edge_frames memo:
+    # a following modularity_refine over the SAME edges frame reuses
+    # this materialization.
+    _, sym = _edge_frames(edges, src, dst, weight)
 
     # Size-adaptive execution (same rationale as connected_components):
     # a distributed iterative loop over a bounded graph pays seconds of
@@ -539,69 +635,106 @@ def graph_modularity(
 
 
 def _refine_driver(
-    sym_rows, label_rows, m: float, outer_rounds: int,
+    spdf, lpdf, m: float, outer_rounds: int,
     max_merge_passes: int, local_rounds: int,
 ):
     """Sequential twin of the distributed refinement rounds — identical
     deterministic rules (mutual-best merges, strict-gain semi-sync
-    local moves), one collect instead of per-round shuffles."""
-    import hashlib
-    from collections import defaultdict
+    local moves), one collect instead of per-round shuffles.
 
-    adj: dict = defaultdict(list)
-    for a, b, w in sym_rows:
-        adj[a].append((b, w))
-    nodes = sorted(adj)
-    deg = {n: sum(w for _, w in adj[n]) for n in nodes}
-    par = {
-        n: int(hashlib.md5(n.encode("utf-8")).hexdigest()[:8], 16) % LPA_STRIDE
-        for n in nodes
-    }
-    labels = dict(label_rows)
+    Vectorized (r6): every per-node/per-pair dict loop is a grouped
+    numpy scatter-add + lexsort selection (~10x on the bench KG
+    graphs). Labels are encoded as indices into the sorted
+    names∪labels vocabulary, so int comparisons reproduce every
+    lexicographic tie-break exactly; weight/degree accumulations run
+    through ``np.add.at`` (strictly element-ordered) in the same
+    b-ascending order the dict loops used. With integer-valued
+    weights the output is bit-identical to both the old loop and the
+    distributed rounds (all sums exact in doubles); fractional
+    weights may flip exact-ΔQ ties — the same disclaimer the
+    distributed-path contract already carries. Takes the collected
+    sym/labels pandas frames; returns a sorted (node, label) list."""
+    import numpy as np
+
+    av = spdf["a"].to_numpy()
+    bv = spdf["b"].to_numpy()
+    wv = spdf["w"].to_numpy(dtype=np.float64)
+    lnodes = lpdf["node"].to_numpy()
+    linit = lpdf["label"].to_numpy()
+    names = np.unique(av)  # sorted node set (== sorted(adj) before)
+    vocab = np.unique(np.concatenate([names, linit]))
+    V = len(vocab)
+    a = np.searchsorted(vocab, av)
+    b = np.searchsorted(vocab, bv)
+    node_codes = np.searchsorted(vocab, names)  # ascending
+    o = np.lexsort((b, a))
+    a, b, w = a[o], b[o], wv[o]
+    deg = np.zeros(V)
+    np.add.at(deg, a, w)  # per-node accumulation in b-ascending order
+    par = np.full(V, -1, dtype=np.int64)
+    par[node_codes] = _node_parities(names)
+    edge_par = par[a]
+    labels = np.full(V, -1, dtype=np.int64)
+    labels[np.searchsorted(vocab, lnodes)] = np.searchsorted(vocab, linit)
+    denom = 2 * m * m
+
+    def _tot() -> "np.ndarray":
+        t = np.zeros(V)
+        np.add.at(t, labels[node_codes], deg[node_codes])
+        return t
 
     def merge_passes() -> bool:
-        # The best-partner selection is a running maximum under the
-        # total order (dq desc, partner asc) — order-independent, so no
-        # sort over the pair dict is needed. The coarse inter/tot
-        # aggregates are built from the raw edges ONCE per invocation
-        # and REMAPPED through each pass's disjoint merge matching
-        # (O(P) per pass instead of O(E)); with integer-valued weights
-        # the regrouped float sums are exact, so the output is
-        # bit-identical to the per-pass recompute.
+        # best-partner selection = running max under (dq desc, partner
+        # asc); the coarse inter/tot aggregates are built from the raw
+        # edges ONCE per invocation and REMAPPED through each pass's
+        # disjoint merge matching.
         nonlocal labels
-        tot: dict = defaultdict(float)
-        for n in nodes:
-            tot[labels[n]] += deg[n]
-        inter: dict = defaultdict(float)
-        for a, b, w in sym_rows:
-            ca, cb = labels[a], labels[b]
-            if ca != cb and ca < cb:  # sym carries both directions
-                inter[(ca, cb)] += w
+        tot = _tot()
+        la_, lb_ = labels[a], labels[b]
+        msk = la_ < lb_  # sym carries both directions; keep one
+        pair = la_[msk] * V + lb_[msk]
+        upair, inv = np.unique(pair, return_inverse=True)
+        wab = np.zeros(len(upair))
+        np.add.at(wab, inv, w[msk])
+        pca, pcb = upair // V, upair % V
         merged_any = False
         for _ in range(max_merge_passes):
-            best: dict = {}
-            for (ca, cb), w in inter.items():
-                dq = w / m - tot[ca] * tot[cb] / (2 * m * m)
-                for x, y in ((ca, cb), (cb, ca)):
-                    cur = best.get(x)
-                    if cur is None or dq > cur[0] or (dq == cur[0] and y < cur[1]):
-                        best[x] = (dq, y)
-            merges = {}
-            for x, (dq, y) in best.items():
-                if dq > 0 and best.get(y, (0.0, None))[1] == x:
-                    merges[max(x, y)] = min(x, y)
-            if not merges:
+            if len(upair) == 0:
+                break
+            dq = wab / m - tot[pca] * tot[pcb] / denom
+            x = np.concatenate([pca, pcb])
+            y = np.concatenate([pcb, pca])
+            dq2 = np.concatenate([dq, dq])
+            so = np.lexsort((y, -dq2, x))
+            x, y, dq2 = x[so], y[so], dq2[so]
+            first = np.empty(x.size, dtype=bool)
+            first[0] = True
+            np.not_equal(x[1:], x[:-1], out=first[1:])
+            bx, by, bdq = x[first], y[first], dq2[first]
+            best_to = np.full(V, -1, dtype=np.int64)
+            best_to[bx] = by
+            ok = (bdq > 0) & (best_to[by] == bx)
+            mx, my = bx[ok], by[ok]
+            sel = mx > my  # mutual pairs appear twice; merges[max]=min
+            src_c, dst_c = mx[sel], my[sel]
+            if src_c.size == 0:
                 break
             merged_any = True
-            labels = {n: merges.get(l, l) for n, l in labels.items()}
-            for x, y in merges.items():  # y absorbs x
-                tot[y] += tot.pop(x)
-            nxt: dict = defaultdict(float)
-            for (ca, cb), w in inter.items():
-                ma, mb = merges.get(ca, ca), merges.get(cb, cb)
-                if ma != mb:
-                    nxt[(ma, mb) if ma < mb else (mb, ma)] += w
-            inter = nxt
+            mapping = np.arange(V, dtype=np.int64)
+            mapping[src_c] = dst_c
+            labels = mapping[labels]
+            tot[dst_c] += tot[src_c]
+            tot[src_c] = 0.0
+            nca, ncb = mapping[pca], mapping[pcb]
+            keep = nca != ncb
+            lo = np.minimum(nca[keep], ncb[keep])
+            hi = np.maximum(nca[keep], ncb[keep])
+            pair = lo * V + hi
+            upair, inv = np.unique(pair, return_inverse=True)
+            nw = np.zeros(len(upair))
+            np.add.at(nw, inv, wab[keep])
+            wab = nw
+            pca, pcb = upair // V, upair % V
         return merged_any
 
     def local_moves() -> bool:
@@ -610,34 +743,48 @@ def _refine_driver(
         idle_rounds = 0
         for r in range(local_rounds):
             active = r % LPA_STRIDE
-            tot: dict = defaultdict(float)
-            for n in nodes:
-                tot[labels[n]] += deg[n]
-            new = dict(labels)
+            tot = _tot()
+            msk = edge_par == active
             changed = 0
-            for n in nodes:
-                if par[n] != active:
-                    continue
-                wc: dict = defaultdict(float)
-                for nb, w in adj[n]:
-                    wc[labels[nb]] += w
-                cur = labels[n]
-                base = wc.get(cur, 0.0)
-                bestc, bestdq = cur, 0.0
-                # running max under (dq desc, label asc) — iteration
-                # order over wc is irrelevant, no sort needed
-                for c, wv in wc.items():
-                    if c == cur:
-                        continue
-                    dq = (wv - base) / m - deg[n] * (
-                        tot[c] - (tot[cur] - deg[n])
-                    ) / (2 * m * m)
-                    if dq > bestdq or (dq == bestdq and bestdq > 0 and c < bestc):
-                        bestc, bestdq = c, dq
-                if bestc != cur:
-                    new[n] = bestc
-                    changed += 1
-            labels = new
+            if msk.any():
+                aa, bb, ww = a[msk], b[msk], w[msk]
+                lb_ = labels[bb]
+                o2 = np.lexsort((bb, lb_, aa))
+                aa, lb_, ww = aa[o2], lb_[o2], ww[o2]
+                new_key = np.empty(aa.size, dtype=bool)
+                new_key[0] = True
+                np.logical_or(
+                    aa[1:] != aa[:-1], lb_[1:] != lb_[:-1], out=new_key[1:]
+                )
+                key_id = np.cumsum(new_key) - 1
+                wsum = np.zeros(key_id[-1] + 1)
+                np.add.at(wsum, key_id, ww)  # b-ascending per key
+                starts = np.flatnonzero(new_key)
+                ga, gl = aa[starts], lb_[starts]
+                a_new = np.empty(ga.size, dtype=bool)
+                a_new[0] = True
+                np.not_equal(ga[1:], ga[:-1], out=a_new[1:])
+                seg = np.cumsum(a_new) - 1
+                nseg = seg[-1] + 1
+                cur_of_key = labels[ga]
+                base = np.zeros(nseg)
+                hit = np.flatnonzero(gl == cur_of_key)
+                base[seg[hit]] = wsum[hit]
+                degn = deg[ga]
+                dq = (wsum - base[seg]) / m - degn * (
+                    tot[gl] - (tot[cur_of_key] - degn)
+                ) / denom
+                ci = np.flatnonzero((gl != cur_of_key) & (dq > 0))
+                if ci.size:
+                    cx, cdq, cl = ga[ci], dq[ci], gl[ci]
+                    so = np.lexsort((cl, -cdq, cx))
+                    cx, cl = cx[so], cl[so]
+                    fk = np.empty(cx.size, dtype=bool)
+                    fk[0] = True
+                    np.not_equal(cx[1:], cx[:-1], out=fk[1:])
+                    mv_nodes, mv_to = cx[fk], cl[fk]
+                    changed = int(mv_nodes.size)
+                    labels[mv_nodes] = mv_to
             # a full parity stride with zero moves is a fixpoint of the
             # schedule: every later round replays an already-idle class
             # on unchanged state — identity, so breaking is exact
@@ -652,7 +799,8 @@ def _refine_driver(
         moved = local_moves()
         if not merged and not moved:
             break  # a no-op outer round makes every later one a no-op
-    return labels
+    out = labels[node_codes]
+    return list(zip(names.tolist(), vocab[out].tolist()))
 
 
 def modularity_refine(
@@ -701,22 +849,13 @@ def modularity_refine(
     exact in doubles); fractional weights may flip exact-ΔQ ties
     between paths — both results remain valid local optima.
     """
-    w = F.col(weight) if weight else F.lit(1.0)
     # e is re-joined against the labels on EVERY merge pass (up to
-    # outer_rounds*max_merge_passes times) — checkpoint it once so the
+    # outer_rounds*max_merge_passes times) — checkpointed once so the
     # caller's upstream edges plan (a whole KG build, in the bench's
-    # case) is never replayed inside the loop. Lazy: sym's eager
-    # checkpoint below materializes it in the same first job.
-    e = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
-    ).localCheckpoint(eager=False)
-    sym = (
-        e.unionByName(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-        )
-        .withColumn("_par", _lpa_parity(F.col("a")))
-        .localCheckpoint(eager=True)
-    )
+    # case) is never replayed inside the loop; via the _edge_frames
+    # memo, an LPA→refine composition over the same edges frame shares
+    # ONE materialization of that upstream plan.
+    e, sym = _edge_frames(edges, src, dst, weight)
     # size + 2m in ONE job over the CHECKPOINT — aggregating `e`
     # instead would replay the caller's whole upstream plan (the KG
     # edges build) a second time. sym carries each edge twice, and the
@@ -739,13 +878,13 @@ def modularity_refine(
         spdf = sym.select("a", "b", "w").toPandas()  # Arrow, not Rows
         lpdf = labels.select("node", "label").toPandas()
         out = _refine_driver(
-            list(zip(spdf["a"], spdf["b"], (float(x) for x in spdf["w"]))),
-            list(zip(lpdf["node"], lpdf["label"])),
-            m, outer_rounds, max_merge_passes, local_rounds,
+            spdf, lpdf, m, outer_rounds, max_merge_passes, local_rounds,
         )
+        import pandas as pd
+
         dt = labels.schema["node"].dataType
         return labels.sparkSession.createDataFrame(
-            sorted(out.items()),
+            pd.DataFrame(out, columns=["node", "label"]),
             T.StructType(
                 [T.StructField("node", dt), T.StructField("label", dt)]
             ),

@@ -98,8 +98,14 @@ def connected_components(
         from pyspark.sql import types as T
 
         dt = sym.schema["a"].dataType
+        import pandas as pd
+
+        # Arrow path for the return frame — the pickled-rows path costs
+        # ~1s at 100k rows, the Arrow batch is near-free
         return sym.sparkSession.createDataFrame(
-            [(n, find(n)) for n in labels],
+            pd.DataFrame(
+                {"node": labels, "component": [find(n) for n in labels]}
+            ),
             T.StructType(
                 [T.StructField("node", dt), T.StructField("component", dt)]
             ),

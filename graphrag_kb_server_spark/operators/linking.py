@@ -171,15 +171,177 @@ def abbreviation_pairs(names: DataFrame, name_col: str = "name") -> DataFrame:
     )
 
 
+def _canonical_map_driver(names_list: list, threshold: float,
+                          include_abbreviations: bool):
+    """Driver-side twin of the LSH → cosine → components pipeline for
+    small vocabularies — BIT-IDENTICAL to the distributed operators it
+    mirrors (gated to printable-ASCII names so lower()/\\s+ semantics
+    cannot diverge from the JVM):
+
+    - shingles/minhash/bands: the same md5-hex slices
+      (functions/hashing.py) via hashlib;
+    - oversized-bucket split: the same ceil(n/max_bucket) +
+      md5-mod sub-bucketing (operators/dedup.split_oversized_buckets);
+    - scoring: the SAME ``embed_text`` the embed_udf slot calls, with
+      the dot/norm folds accumulated left-to-right in float64 exactly
+      like the Catalyst ``aggregate`` expressions
+      (functions/vectors.py), so the >= threshold comparison sees the
+      identical float;
+    - abbreviation channel: upper()/initials() mirrored;
+    - components: min-label union-find (components.py driver
+      semantics); representative = (longest, then lexicographically
+      smallest) member.
+
+    Returns a sorted list of (name, canonical_name) pairs."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from ..functions.embedding import embed_text
+
+    rows_per_band = DEFAULT_NUM_HASHES // DEFAULT_BANDS
+    max_bucket = 64
+
+    def shingles(nm: str) -> list[str]:
+        s = nm.lower()
+        n = max(len(s) - 2, 1)
+        return list(dict.fromkeys(s[i:i + 3] for i in range(n)))
+
+    buckets: dict = defaultdict(list)
+    for nm in names_list:
+        hx = [hashlib.md5(g.encode("utf-8")).hexdigest() for g in shingles(nm)]
+        sig = [
+            min(h[j * 4:(j + 1) * 4] for h in hx)
+            for j in range(DEFAULT_NUM_HASHES)
+        ]
+        for bnd in range(DEFAULT_BANDS):
+            key = (bnd, tuple(sig[bnd * rows_per_band:(bnd + 1) * rows_per_band]))
+            buckets[key].append(nm)
+    pairs: set = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            nsub = -(-len(members) // max_bucket)
+            subs: dict = defaultdict(list)
+            for nm in members:
+                subs[
+                    int(hashlib.md5(nm.encode("utf-8")).hexdigest()[:8], 16)
+                    % nsub
+                ].append(nm)
+            groups = subs.values()
+        else:
+            groups = [members]
+        for grp in groups:
+            for i, a in enumerate(grp):
+                for b in grp[i + 1:]:
+                    pairs.add((a, b) if a < b else (b, a))
+
+    vecs = {}
+    norms = {}
+    for nm in {n for p in pairs for n in p}:
+        v = [float(x) for x in embed_text(nm)]  # float32 → double cast
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x  # left-to-right, matching the HOF fold
+        vecs[nm] = v
+        norms[nm] = math.sqrt(acc)
+
+    linked: list = []
+    for a, b in pairs:
+        denom = norms[a] * norms[b]
+        if denom == 0.0:
+            continue  # cosine defined as 0.0 < threshold
+        dot = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            dot = dot + x * y
+        if dot / denom >= threshold:
+            linked.append((a, b))
+
+    if include_abbreviations:
+        import re
+
+        def _initials(nm: str) -> str:
+            return "".join(
+                p[:1] for p in re.split(r"\s+", nm)
+            ).upper()
+
+        by_initials: dict = defaultdict(list)
+        for nm in names_list:
+            by_initials[_initials(nm)].append(nm)
+        for nm in names_list:
+            if " " in nm:
+                continue
+            for exp in by_initials.get(nm.upper(), ()):  # noqa: B909
+                if exp != nm:
+                    linked.append((nm, exp))
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in linked:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    comps: dict = defaultdict(list)
+    for nm in {n for p in linked for n in p}:
+        comps[find(nm)].append(nm)
+    canon: dict = {}
+    for members in comps.values():
+        rep = min(members, key=lambda n: (-len(n), n))
+        for nm in members:
+            canon[nm] = rep
+    return sorted((nm, canon.get(nm, nm)) for nm in names_list)
+
+
 def canonical_map(
     nodes: DataFrame,
     name_col: str = "name",
     threshold: float = DEFAULT_THRESHOLD,
     include_abbreviations: bool = True,
+    small_vocab_threshold: int = 100_000,
 ) -> DataFrame:
     """nodes → (name, canonical_name) for EVERY input name (identity
-    rows included), via LSH → cosine → components."""
+    rows included), via LSH → cosine → components.
+
+    Size-adaptive (the LPA/components/pagerank pattern): linking runs
+    over DISTINCT names — a vocabulary, orders of magnitude smaller
+    than the corpus — and the distributed composition pays ~10 stages
+    of scheduling for microseconds of work on small vocabularies. At
+    or below ``small_vocab_threshold`` distinct printable-ASCII names
+    the identical pipeline runs driver-side (_canonical_map_driver,
+    bit-identical by construction; tests pin driver == distributed).
+    Larger or non-ASCII vocabularies take the distributed operators;
+    0 forces distributed."""
     names = nodes.select(F.col(name_col).alias("name")).distinct()
+    if small_vocab_threshold > 0:
+        probe = names.limit(small_vocab_threshold + 1).toPandas()
+        if len(probe) <= small_vocab_threshold:
+            names_list = probe["name"].tolist()
+            if all(
+                isinstance(nm, str)
+                and all(32 <= ord(c) < 127 for c in nm)
+                for nm in names_list
+            ):
+                from pyspark.sql import types as T
+
+                out = _canonical_map_driver(
+                    names_list, threshold, include_abbreviations
+                )
+                dt = names.schema["name"].dataType
+                return nodes.sparkSession.createDataFrame(
+                    out,
+                    T.StructType(
+                        [
+                            T.StructField("name", dt),
+                            T.StructField("canonical_name", dt),
+                        ]
+                    ),
+                )
     pairs = score_pairs(candidate_pairs(names), names, threshold=threshold).select(
         "name_a", "name_b"
     )

@@ -121,14 +121,19 @@ def trigram_backoff_nll(
             )
         )
 
-    tr = tri_stream(train)
+    # the train-side streams feed FOUR (tr) / TWO (uni) count
+    # aggregations; a lazy checkpoint makes the tokenize+explode pass
+    # run once instead of once per aggregation (guide §2.4 — the
+    # repeated subtree is the expensive part, the cached stream is
+    # disk-backed at scale)
+    tr = tri_stream(train).localCheckpoint(eager=False)
     c3 = tr.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3"))
     c12 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
     c23 = tr.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("_c23"))
     c2 = tr.groupBy("w2").agg(F.count(F.lit(1)).alias("_c2"))
     uni = train.select(
         F.explode(tokens_col(F.col(text_col))).alias("w3")
-    )
+    ).localCheckpoint(eager=False)
     c_u = uni.groupBy("w3").agg(F.count(F.lit(1)).alias("_cu"))
     n_tot = uni.agg(F.count(F.lit(1)).cast("double").alias("_nt"))
 
@@ -263,7 +268,8 @@ def pmi_collocations(
     (pmi desc, w1, w2) — a total order, so the boundary is the same in
     every engine; pmi rounded to 6 dp.
     """
-    bg = _token_stream(docs, id_col, text_col)
+    # bg feeds four aggregations — one tokenize+explode pass, cached
+    bg = _token_stream(docs, id_col, text_col).localCheckpoint(eager=False)
     pair_c = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_pair")
     )
@@ -294,7 +300,7 @@ def bigram_lm(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Train: (w1, w2, c_bigram, c_context) — the sufficient statistic
     of an add-k bigram LM, as a DataFrame (the model IS a table; at
     100 TB it lives in parquet, not driver memory)."""
-    bg = _token_stream(docs, id_col, text_col)
+    bg = _token_stream(docs, id_col, text_col).localCheckpoint(eager=False)
     bigram_c = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c_bigram")
     )
@@ -334,7 +340,7 @@ def lm_perplexity(
     # context must still use c(w1), not the smoothing floor
     contexts = model.select("w1", "c_context").distinct()
 
-    bg = _token_stream(docs, id_col, text_col)
+    bg = _token_stream(docs, id_col, text_col).localCheckpoint(eager=False)
     scored = (
         bg.join(model.select("w1", "w2", "c_bigram"), ["w1", "w2"], "left")
         .join(contexts, "w1", "left")
