@@ -67,12 +67,25 @@ def degree_centrality(
             "name", F.coalesce("degree", F.lit(0)).alias("degree")
         )
     else:
-        # lazy checkpoint: the n-count action below materializes deg
-        # once; without it the returned frame would replay the full
-        # edges scan + aggregation a second time (two computations for
-        # one output)
+        # zero-driver-action formulation: the denominator rides the
+        # plan as a 1-row broadcast instead of a separate count() job
+        # (max(n-1,1) == greatest(count-1, 1), same float division).
+        # The lazy checkpoint still shares ONE computation of deg
+        # between the denominator aggregate and the output rows.
         deg = deg.localCheckpoint(eager=False)
-        n = deg.count()
+        denom_df = deg.agg(
+            F.greatest(F.count(F.lit(1)) - F.lit(1), F.lit(1))
+            .cast("double")
+            .alias("_denom")
+        )
+        return (
+            deg.crossJoin(F.broadcast(denom_df))
+            .select(
+                "name",
+                (F.col("degree") / F.col("_denom")).alias("centrality"),
+            )
+            .orderBy(F.desc("centrality"), "name")
+        )
     denom = float(max(n - 1, 1))
     return deg.select(
         "name", (F.col("degree") / F.lit(denom)).alias("centrality")
@@ -408,19 +421,29 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     all_nodes = all_nodes.localCheckpoint(eager=False)
+    # single limit-probe collect decides the execution path: a
+    # complete bounded collect of frac IS the driver path's edge
+    # input, so the previous separate frac.count() job disappears;
+    # the driver path derives its own dangling mask from it (has_out),
+    # so the dangling frame below is only built for the distributed
+    # rounds
+    if driver_edge_threshold > 0:
+        frac_pd = frac.limit(driver_edge_threshold + 1).toPandas()
+        if len(frac_pd) <= driver_edge_threshold:
+            nodes_pd = all_nodes.toPandas()
+            n = len(nodes_pd)
+            if n == 0:
+                return all_nodes.select(
+                    F.col("name"), F.lit(0.0).alias("rank")
+                )
+            return _pagerank_driver(
+                edges.sparkSession, all_nodes, nodes_pd, frac_pd,
+                damping, iterations, n,
+            )
     n = all_nodes.count()
     if n == 0:
         return all_nodes.select(
             F.col("name"), F.lit(0.0).alias("rank")
-        )
-    n_edges = frac.count()
-    if n_edges <= driver_edge_threshold:
-        # the driver path derives its own dangling mask from the
-        # collected frac (has_out), so the dangling frame below —
-        # previously an eager checkpoint paid before this branch —
-        # is only built for the distributed rounds
-        return _pagerank_driver(
-            edges.sparkSession, all_nodes, frac, damping, iterations, n
         )
 
     # dangling = nodes with no out-edge (weight-sum 0 counts as none —
@@ -470,20 +493,19 @@ def pagerank(
 
 
 def _pagerank_driver(
-    spark, all_nodes: DataFrame, frac: DataFrame,
+    spark, all_nodes: DataFrame, nodes_pd, e_pd,
     damping: float, iterations: int, n: int,
 ) -> DataFrame:
     """Collected power iteration for sub-threshold graphs — same
     update rule as the distributed rounds, numpy scatter-add instead
-    of a shuffle. Preserves the caller's name dtype by building the
-    result on the collected nodes frame's own schema."""
+    of a shuffle. Takes the already-collected nodes/frac pandas frames
+    (the caller's limit-probe collect); preserves the caller's name
+    dtype by building the result on the nodes frame's own schema."""
     import numpy as np
     from pyspark.sql import types as T
 
-    nodes_pd = all_nodes.toPandas()  # Arrow batch transfer
     names = nodes_pd["name"].tolist()
     idx = {v: i for i, v in enumerate(names)}
-    e_pd = frac.toPandas()
     s = np.fromiter((idx[v] for v in e_pd["_s"].tolist()), dtype=np.int64,
                     count=len(e_pd))
     t = np.fromiter((idx[v] for v in e_pd["_t"].tolist()), dtype=np.int64,

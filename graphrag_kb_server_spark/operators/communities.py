@@ -44,12 +44,13 @@ _EDGE_FRAMES_MEMO: "weakref.WeakKeyDictionary" = None  # set below
 def _edge_frames(
     edges: DataFrame, src: str, dst: str, weight: str | None
 ) -> tuple[DataFrame, DataFrame]:
-    """(e, sym) for an edges frame: ``e`` = the (a, b, w) projection
-    (lazy checkpoint), ``sym`` = both directions + voter parity
-    (eager checkpoint — its materialization also caches ``e``, whose
-    RDD is part of its lineage). Memoized per edges DataFrame OBJECT
-    so label_propagation + modularity_refine over the same frame pay
-    the upstream edge build once."""
+    """(e, sym) for an edges frame: ``e`` = the (a, b, w) projection,
+    ``sym`` = both directions + voter parity; both lazy checkpoints
+    (the caller's first action on either materializes it, and sym's
+    lineage runs through e's checkpoint so e is cached as a side
+    effect). Memoized per edges DataFrame OBJECT so
+    label_propagation + modularity_refine over the same frame pay the
+    upstream edge build once."""
     global _EDGE_FRAMES_MEMO
     if _EDGE_FRAMES_MEMO is None:
         import weakref
@@ -63,12 +64,16 @@ def _edge_frames(
     e = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
     ).localCheckpoint(eager=False)
+    # sym is LAZY: the driver paths never touch it (they collect the
+    # half-size e and mirror it in numpy), so its union+parity pass and
+    # block-manager copy only materialize when the distributed rounds
+    # actually run
     sym = (
         e.unionByName(
             e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
         )
         .withColumn("_par", _lpa_parity(F.col("a")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if per is None:
         per = {}
@@ -107,7 +112,9 @@ def _node_parities(names) -> "np.ndarray":
     )
 
 
-def _label_propagation_driver(sym: DataFrame, max_iterations: int) -> DataFrame:
+def _label_propagation_driver(
+    spark, pdf, sym_schema, max_iterations: int
+) -> DataFrame:
     """Driver-side twin of the distributed semi-synchronous rounds:
     same parity mask, same (wsum desc, label asc) adoption, same
     full-sweep convergence check — collected once, returned as a
@@ -126,12 +133,15 @@ def _label_propagation_driver(sym: DataFrame, max_iterations: int) -> DataFrame:
     identical float."""
     import numpy as np
 
-    pdf = sym.select("a", "b", "w").toPandas()  # Arrow batch, not Rows
-    av = pdf["a"].to_numpy()
+    half_a = pdf["a"].to_numpy()
+    half_b = pdf["b"].to_numpy()
+    half_w = pdf["w"].to_numpy(dtype=np.float64)
+    av = np.concatenate([half_a, half_b])  # both directions, in numpy
+    bv = np.concatenate([half_b, half_a])
     names = np.unique(av)  # sorted vocabulary (== sorted(adj) before)
     a = np.searchsorted(names, av)
-    b = np.searchsorted(names, pdf["b"].to_numpy())
-    w = pdf["w"].to_numpy(dtype=np.float64)
+    b = np.searchsorted(names, bv)
+    w = np.concatenate([half_w, half_w])
     order = np.lexsort((b, a))
     a, b, w = a[order], b[order], w[order]
     n = len(names)
@@ -183,7 +193,7 @@ def _label_propagation_driver(sym: DataFrame, max_iterations: int) -> DataFrame:
             it += 1
         if changed == 0:
             break
-    dt = sym.schema["a"].dataType
+    dt = sym_schema["a"].dataType
     from pyspark.sql import types as T
 
     import pandas as pd
@@ -191,7 +201,7 @@ def _label_propagation_driver(sym: DataFrame, max_iterations: int) -> DataFrame:
     out_pdf = pd.DataFrame(
         {"node": names, "label": names[labels]}
     )
-    return sym.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         out_pdf,
         T.StructType(
             [T.StructField("node", dt), T.StructField("label", dt)]
@@ -234,7 +244,7 @@ def label_propagation(
     # on every edge every round (VERDICT r4 item 3). _edge_frames memo:
     # a following modularity_refine over the SAME edges frame reuses
     # this materialization.
-    _, sym = _edge_frames(edges, src, dst, weight)
+    e, sym = _edge_frames(edges, src, dst, weight)
 
     # Size-adaptive execution (same rationale as connected_components):
     # a distributed iterative loop over a bounded graph pays seconds of
@@ -254,11 +264,17 @@ def label_propagation(
     # overhead (the whole sub-cluster recursion included) stays local.
     # g2_lpa_distributed forces small_graph_threshold=0 and is
     # hash-oracled equal — both paths stay continuously witnessed.
-    if (
-        sym.schema["a"].dataType.simpleString() == "string"
-        and sym.count() <= small_graph_threshold
-    ):
-        return _label_propagation_driver(sym, max_iterations)
+    # gate on the HALF-size e frame (sym has exactly 2x its rows) via a
+    # single limit-probe collect: if the bounded collect comes back
+    # complete it IS the driver path's input — no separate count() job,
+    # and sym's union+parity pass never materializes on this branch
+    if sym.schema["a"].dataType.simpleString() == "string":
+        half_cap = small_graph_threshold // 2
+        probe = e.limit(half_cap + 1).toPandas()
+        if len(probe) <= half_cap:
+            return _label_propagation_driver(
+                e.sparkSession, probe, sym.schema, max_iterations
+            )
 
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -856,26 +872,33 @@ def modularity_refine(
     # memo, an LPA→refine composition over the same edges frame shares
     # ONE materialization of that upstream plan.
     e, sym = _edge_frames(edges, src, dst, weight)
-    # size + 2m in ONE job over the CHECKPOINT — aggregating `e`
-    # instead would replay the caller's whole upstream plan (the KG
-    # edges build) a second time. sym carries each edge twice, and the
-    # halved double-sum equals the single-sum exactly for the
-    # integer-valued weights the bit-parity contract covers.
-    stats = sym.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("w").alias("w2")
-    ).first()
-    m = float(stats["w2"] or 0.0) / 2.0
-    if m <= 0:
-        return labels
-    n_sym = stats["n"]
-
-    if (
-        sym.schema["a"].dataType.simpleString() == "string"
-        and n_sym <= small_graph_threshold
-    ):
+    # The gate is a single limit-probe collect of the HALF-size e
+    # frame (sym has exactly 2x its rows): a complete bounded collect
+    # IS the driver path's input, and m derives from it in-process
+    # (exact for the integer-valued weights the bit-parity contract
+    # covers — summation order is free for exact doubles). sym and
+    # the stats aggregation only exist for the distributed rounds.
+    half = None
+    if sym.schema["a"].dataType.simpleString() == "string":
+        half_cap = small_graph_threshold // 2
+        half = e.limit(half_cap + 1).toPandas()
+        if len(half) > half_cap:
+            half = None
+    if half is not None:
+        m = float(half["w"].to_numpy(dtype="float64").sum())
+        if m <= 0:
+            return labels
         from pyspark.sql import types as T
 
-        spdf = sym.select("a", "b", "w").toPandas()  # Arrow, not Rows
+        import pandas as pd
+
+        spdf = pd.DataFrame(
+            {
+                "a": pd.concat([half["a"], half["b"]], ignore_index=True),
+                "b": pd.concat([half["b"], half["a"]], ignore_index=True),
+                "w": pd.concat([half["w"], half["w"]], ignore_index=True),
+            }
+        )
         lpdf = labels.select("node", "label").toPandas()
         out = _refine_driver(
             spdf, lpdf, m, outer_rounds, max_merge_passes, local_rounds,
@@ -889,6 +912,13 @@ def modularity_refine(
                 [T.StructField("node", dt), T.StructField("label", dt)]
             ),
         )
+
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("w")
+    ).first()
+    m = float(stats["w"] or 0.0)
+    if m <= 0:
+        return labels
 
     lab = labels.select("node", "label").localCheckpoint(eager=True)
 
