@@ -83,33 +83,24 @@ def chunk_documents(
     """docs(doc_id, content, file_path) → chunks table (CHUNKS_SCHEMA)."""
 
     def explode_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "chunk_id", "doc_id", "chunk_ix", "n_tokens", "content",
+            "file_path",
+        ]
         for pdf in batches:
-            rows = []
+            # dict-of-lists batch construction (see extraction.py)
+            data = {c: [] for c in cols}
             for did, content, fp in zip(
                 pdf[doc_id_col], pdf[text_col], pdf[file_path_col]
             ):
                 for c in chunk_text(content, max_token_size, overlap_token_size):
-                    rows.append(
-                        {
-                            "chunk_id": "",  # filled JVM-side below
-                            "doc_id": did,
-                            "chunk_ix": c["chunk_ix"],
-                            "n_tokens": c["tokens"],
-                            "content": c["content"],
-                            "file_path": fp,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "chunk_id",
-                    "doc_id",
-                    "chunk_ix",
-                    "n_tokens",
-                    "content",
-                    "file_path",
-                ],
-            )
+                    data["chunk_id"].append("")  # filled JVM-side below
+                    data["doc_id"].append(did)
+                    data["chunk_ix"].append(c["chunk_ix"])
+                    data["n_tokens"].append(c["tokens"])
+                    data["content"].append(c["content"])
+                    data["file_path"].append(fp)
+            yield pd.DataFrame(data, columns=cols)
 
     chunks = docs.select(doc_id_col, text_col, file_path_col).mapInPandas(
         explode_chunks, schema=CHUNKS_SCHEMA

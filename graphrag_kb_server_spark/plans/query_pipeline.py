@@ -279,19 +279,15 @@ def kg_query(
     # entities, and the global (relation) search ALSO yields its edges'
     # endpoint entities; each final list is the round-robin interleave
     # of its two branches with first-occurrence dedup.
-    # LAZY checkpoints: each search result feeds two later branches
-    # (entities + incident relations / relations + endpoint entities),
-    # so it must materialize once — but no separate job is needed; the
-    # stage-2b eager checkpoint's job materializes these RDDs as it
-    # runs. (Lazy is safe here because loc/glob carry no Observations —
-    # observation metrics only publish from plans executed via a
-    # DataFrame action, which the stage-2b checkpoints are.)
+    # Each search result feeds two later branches (entities + incident
+    # relations / relations + endpoint entities). They are NOT
+    # checkpointed: both branches live inside the ONE stage-2b job, the
+    # duplicated top-k sub-plan is bounded (k rows over a TakeOrdered
+    # scan), and the lazy localCheckpoints used previously cost ~0.2s
+    # of plan→RDD compilation per query — more than the duplicated
+    # compute they saved (measured A/B, OPTIMIZATION_r06.md).
     loc = _entity_search(g, qvec, params.top_k) if want_local else None
     glob = _relation_search(g, qvec, params.top_k) if want_global else None
-    if loc is not None:
-        loc = loc.localCheckpoint(eager=False)
-    if glob is not None:
-        glob = glob.localCheckpoint(eager=False)
 
     ent_branches: list[DataFrame] = []
     if loc is not None:
@@ -435,6 +431,11 @@ def kg_query(
         # Observations with explicit count aggregates.
         both = both.localCheckpoint(eager=True)
         rows = both.orderBy("_sec", "merge_ix").collect()
+        # (A local-relation rebuild of entities/relations from the
+        # collected rows was A/B-tested here and measured SLOWER than
+        # the filter-over-checkpoint views — the local relations lose
+        # the checkpoint's stats and Arrow-free construction costs more
+        # than the trivial filters; see OPTIMIZATION_r06.md.)
         if entities is not None:
             entities = both.where(F.col("_sec") == "ent").select(*ent_cols)
             ctx.entities = [
