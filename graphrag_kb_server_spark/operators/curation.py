@@ -581,12 +581,23 @@ def duplicate_spans(
     honest trade against hashing every byte; lower ``sample_mod`` to
     tighten).
 
+    ``sample_mod`` must be a power of two ≤ 256: the selector uses the
+    first 2 hex chars (8 bits) of the window md5, so a modulus that
+    does not divide 256 would over-select the low residues by up to
+    ~2% and skew the advertised 1/m rate (ADVICE r5).
+
     Output is AGGREGATION-shaped, never pairs: per duplicated span
     hash, (span_md5, n_docs, n_sites, first_site, last_site) with
     sites as ``doc:pos`` strings and exemplars via min/max — a
     boilerplate span shared by 10^6 documents costs one combined
     aggregation row, not C(10^6, 2) join rows. n_docs ≥ 2 only.
     """
+    if not (1 <= sample_mod <= 256 and sample_mod & (sample_mod - 1) == 0):
+        raise ValueError(
+            f"sample_mod must be a power of two <= 256 (got {sample_mod}): "
+            "the selector draws 8 bits of the window hash, so other moduli "
+            "skew the 1/m sampling rate"
+        )
     sel = (
         F.conv(F.substring(F.col("_h"), 1, 2), 16, 10).cast("bigint")
         % sample_mod
